@@ -1,0 +1,59 @@
+"""Frozen algorithm configuration.
+
+The reference hard-codes its constants across Java files; this module is
+the single source of truth for the rebuild (SURVEY.md §7.1).
+
+Reference constants reproduced here:
+  - 64-bit fingerprint, 4 bands x 16-bit prefix, Hamming radius 3
+    (reference: incload/DeDupMapper.java:27-31, incload/MemTable.java:30-36)
+  - exact-duplicate "spam" kill threshold 1000
+    (reference: incload/SpamPageGenerate.java:78)
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, replace
+
+
+@dataclass(frozen=True)
+class DedupConfig:
+    # --- SimHash fingerprint (frozen spec; we own this definition — the
+    # reference computed it in an external C++ binary not in the repo).
+    shingle_width: int = 3          # overlapping token shingles
+    fingerprint_bits: int = 64
+
+    # --- Pigeonhole banding: complete for Hamming <= hamming_k when
+    # n_bands > hamming_k (4 bands of 16 bits catch every pair with <= 3
+    # differing bits: at least one band is untouched).
+    n_bands: int = 4                # incload/MemTable.java:34 (tableCount)
+    band_bits: int = 16             # incload/MemTable.java:36 (2^16 buckets)
+    hamming_k: int = 3              # incload/DeDupMapper.java:200
+
+    # --- Exact-duplicate flood kill (skew guard + spam semantics).
+    spam_threshold: int = 1000      # incload/SpamPageGenerate.java:78
+
+    # --- Connected components (label propagation).
+    cc_max_iter: int = 25
+
+    # --- Band-bucket skew cap: buckets larger than this are salted into
+    # sub-buckets compared against a capped sample (scale guard; the
+    # spam pass removes the dominant source of hot buckets first).
+    band_bucket_cap: int = 20000
+
+    # --- MinHash / LSH borderline path (north_star extension).
+    minhash_perms: int = 128
+    minhash_bands: int = 32
+    minhash_rows: int = 4           # 32 * 4 == 128
+    minhash_shingle_width: int = 3
+    jaccard_threshold: float = 0.7
+
+    # --- Selection semantics: 'cc' (parallel connected components,
+    # default) or 'greedy' (reference-exact sequential scan per
+    # component; incload/SelectLogicReducer.java:56-104).
+    selection: str = "cc"
+
+    def with_(self, **kw) -> "DedupConfig":
+        return replace(self, **kw)
+
+
+DEFAULT = DedupConfig()

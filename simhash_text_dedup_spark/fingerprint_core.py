@@ -1,0 +1,225 @@
+"""Frozen 64-bit SimHash specification + numpy-vectorized batch kernel.
+
+The reference computes its 64-bit SimHash in an external C++ Hadoop Pipes
+binary (``parse_content``) that is not part of the repo (reference:
+src/main/resources/jobinfo.xml:198-228; the 8-byte ``simhash`` Avro field
+is validated at spider/hbase/mapreduce/ParseResultImporter.java:159-161).
+We therefore OWN the fingerprint definition; it is frozen here and used
+identically by the Spark pipeline, the tests, and the single-process
+reference re-implementation (reference_impl.py).
+
+FROZEN SPEC (do not change without regenerating goldens):
+  tokens      = re.findall(r"\\w+", content)          # case-sensitive
+  shingles    = overlapping windows of `width` tokens; if
+                0 < len(tokens) < width, one shingle = all tokens;
+                if len(tokens) == 0 the fingerprint is 0.
+  token hash  = blake2b(token_utf8, digest_size=8) as big-endian uint64
+  shingle hash= acc = SEED; for each token hash h in the shingle:
+                acc = splitmix64(acc XOR h)           # order-sensitive
+  weight      = 1 per shingle OCCURRENCE (frequency weighting arises
+                from summing over all occurrences)
+  bit b       = 1 iff sum over shingles of (2*bit_b(hash)-1) > 0
+                (tie -> 0); b = 0 is the least-significant bit.
+  output      = the 64-bit word reinterpreted as a SIGNED int64
+                (Spark LongType).
+
+Two implementations:
+  * ``simhash_one``  — direct, loop-based: the executable specification.
+  * ``simhash_batch``— numpy-vectorized over a batch of documents
+    (token vocabulary hashed once, shingle mixing and bit accumulation
+    done on flat uint64 arrays; per-bit ``np.bincount`` — no per-row
+    Python in the hot path). Property-tested equal to ``simhash_one``.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import re
+from typing import Iterable, Sequence
+
+import numpy as np
+
+TOKEN_RE = re.compile(r"\w+")
+SEED = np.uint64(0x9E3779B97F4A7C15)
+
+_U64 = np.uint64
+_MASK64 = np.uint64(0xFFFFFFFFFFFFFFFF)
+
+
+# ----------------------------------------------------------------------
+# splitmix64 finalizer (public-domain constant set, Steele et al. 2014)
+# ----------------------------------------------------------------------
+def _splitmix64_py(x: int) -> int:
+    x = (x + 0x9E3779B97F4A7C15) & 0xFFFFFFFFFFFFFFFF
+    z = x
+    z = ((z ^ (z >> 30)) * 0xBF58476D1CE4E5B9) & 0xFFFFFFFFFFFFFFFF
+    z = ((z ^ (z >> 27)) * 0x94D049BB133111EB) & 0xFFFFFFFFFFFFFFFF
+    return z ^ (z >> 31)
+
+
+def _splitmix64_np(x: np.ndarray) -> np.ndarray:
+    """Vectorized splitmix64 over a uint64 array (wrapping arithmetic)."""
+    with np.errstate(over="ignore"):
+        x = x + np.uint64(0x9E3779B97F4A7C15)
+        z = x
+        z = (z ^ (z >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)
+        z = (z ^ (z >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)
+        return z ^ (z >> np.uint64(31))
+
+
+def token_hash(token: str) -> int:
+    """blake2b-8 of the utf-8 token, big-endian uint64."""
+    return int.from_bytes(
+        hashlib.blake2b(token.encode("utf-8"), digest_size=8).digest(), "big"
+    )
+
+
+def shingle_hash(token_hashes: Sequence[int]) -> int:
+    acc = int(SEED)
+    for h in token_hashes:
+        acc = _splitmix64_py(acc ^ h)
+    return acc
+
+
+def tokenize(text: str) -> list[str]:
+    return TOKEN_RE.findall(text)
+
+
+# ----------------------------------------------------------------------
+# Executable specification (slow, obvious)
+# ----------------------------------------------------------------------
+def simhash_one(text: str, width: int = 3) -> int:
+    """SimHash of one document per the frozen spec. Returns signed int64."""
+    tokens = tokenize(text)
+    if not tokens:
+        return 0
+    hs = [token_hash(t) for t in tokens]
+    if len(hs) < width:
+        shingles = [shingle_hash(hs)]
+    else:
+        shingles = [shingle_hash(hs[i : i + width]) for i in range(len(hs) - width + 1)]
+    acc = [0] * 64
+    for sh in shingles:
+        for b in range(64):
+            acc[b] += 1 if (sh >> b) & 1 else -1
+    fp = 0
+    for b in range(64):
+        if acc[b] > 0:
+            fp |= 1 << b
+    # reinterpret as signed int64
+    return fp - (1 << 64) if fp >= (1 << 63) else fp
+
+
+# ----------------------------------------------------------------------
+# Vectorized batch kernel (the production path inside the pandas UDF)
+# ----------------------------------------------------------------------
+def _hash_vocab(vocab: Iterable[str]) -> np.ndarray:
+    out = np.empty(len(vocab), dtype=np.uint64)
+    h = hashlib.blake2b
+    fb = int.from_bytes
+    for i, tok in enumerate(vocab):
+        out[i] = fb(h(tok.encode("utf-8"), digest_size=8).digest(), "big")
+    return out
+
+
+def shingle_hashes_batch(
+    texts: Sequence[str], width: int = 3
+) -> tuple[np.ndarray, np.ndarray, int]:
+    """All shingle hashes for a batch of documents, flattened.
+
+    Returns (hashes uint64[m], doc_index int64[m], n_docs). Documents with
+    zero tokens contribute no shingles. Short documents (< width tokens)
+    contribute exactly one shingle over all their tokens.
+    """
+    n_docs = len(texts)
+    flat_tokens: list[str] = []
+    doc_of_token: list[int] = []
+    for i, t in enumerate(texts):
+        toks = TOKEN_RE.findall(t) if t else []
+        flat_tokens.extend(toks)
+        doc_of_token.extend([i] * len(toks))
+    if not flat_tokens:
+        return (
+            np.empty(0, dtype=np.uint64),
+            np.empty(0, dtype=np.int64),
+            n_docs,
+        )
+
+    # hash each UNIQUE token once (vocabulary is far smaller than the stream)
+    import pandas as pd
+
+    codes, vocab = pd.factorize(np.asarray(flat_tokens, dtype=object))
+    th = _hash_vocab(list(vocab))[codes]  # uint64 per token occurrence
+    di = np.asarray(doc_of_token, dtype=np.int64)
+
+    # token counts / offsets per doc
+    counts = np.bincount(di, minlength=n_docs)
+    starts = np.concatenate(([0], np.cumsum(counts)))[:-1]
+
+    # --- full-width shingles, computed on the flat array -----------------
+    # position j starts a shingle iff j+width-1 is within the same doc
+    m = len(th)
+    if m >= width:
+        valid = di[: m - width + 1] == di[width - 1 :]
+    else:
+        valid = np.zeros(0, dtype=bool)
+    with np.errstate(over="ignore"):
+        acc = np.full(max(m - width + 1, 0), SEED, dtype=np.uint64)
+        for k in range(width):
+            acc = _splitmix64_np(acc ^ th[k : m - width + 1 + k])
+    sh_full = acc[valid]
+    sh_full_doc = di[: m - width + 1][valid] if m >= width else np.empty(0, np.int64)
+
+    # --- short docs (0 < tokens < width): one shingle over all tokens ----
+    short_docs = np.nonzero((counts > 0) & (counts < width))[0]
+    if len(short_docs):
+        sh_short = np.empty(len(short_docs), dtype=np.uint64)
+        with np.errstate(over="ignore"):
+            for idx, d in enumerate(short_docs):
+                a = SEED
+                for h in th[starts[d] : starts[d] + counts[d]]:
+                    a = _splitmix64_np(np.uint64(a) ^ h)
+                sh_short[idx] = a
+        hashes = np.concatenate([sh_full, sh_short])
+        docix = np.concatenate([sh_full_doc, short_docs.astype(np.int64)])
+    else:
+        hashes, docix = sh_full, sh_full_doc
+    return hashes, docix, n_docs
+
+
+def simhash_batch(texts: Sequence[str], width: int = 3) -> np.ndarray:
+    """SimHash for a batch of documents. Returns int64[n] (signed view)."""
+    hashes, docix, n_docs = shingle_hashes_batch(texts, width)
+    if n_docs == 0:
+        return np.empty(0, dtype=np.int64)
+    fp = np.zeros(n_docs, dtype=np.uint64)
+    if len(hashes):
+        one = np.uint64(1)
+        for b in range(64):
+            bit = ((hashes >> np.uint64(b)) & one).astype(np.float64)
+            # +1 for set bit, -1 for clear bit, summed per doc
+            col = np.bincount(docix, weights=2.0 * bit - 1.0, minlength=n_docs)
+            fp |= (col > 0).astype(np.uint64) << np.uint64(b)
+    return fp.view(np.int64)
+
+
+# ----------------------------------------------------------------------
+# Band keys (pigeonhole block permutation)
+# ----------------------------------------------------------------------
+def band_keys(fp: int, n_bands: int = 4, band_bits: int = 16) -> list[int]:
+    """Band i = bits [48-16i, 64-16i) of the fingerprint, i.e. big-endian
+    byte pairs — matching the reference's byte-permutation layout
+    (incload/DeDupMapper.java:169-184, MemTable.java:193-206)."""
+    u = fp & 0xFFFFFFFFFFFFFFFF
+    total = n_bands * band_bits
+    assert total == 64
+    return [
+        (u >> (total - band_bits * (i + 1))) & ((1 << band_bits) - 1)
+        for i in range(n_bands)
+    ]
+
+
+def hamming(a: int, b: int) -> int:
+    """popcount(a XOR b) — reference's early-exit Kernighan loop
+    (incload/DeDupMapper.java:262-280) without the early exit."""
+    return bin((a ^ b) & 0xFFFFFFFFFFFFFFFF).count("1")

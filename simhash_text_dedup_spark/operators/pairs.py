@@ -1,0 +1,118 @@
+"""Candidate generation + exact Hamming verification.
+
+The load-bearing operator (SURVEY.md §2.3 J2).  Reference algorithm
+(incload/DeDupMapper.java:169-232, MemTable.java:154-212): permute the
+64-bit fingerprint into 4 layouts, bucket by the 16-bit prefix, scan the
+bucket, verify popcount(xor) <= 3 on the 48-bit suffix.  "Exact 16-bit
+prefix match AND suffix Hamming <= 3" is equivalent to "shares the band
+AND whole-fingerprint Hamming <= 3", so we verify on the full 64 bits —
+same pair set, simpler plan.
+
+Spark-first design:
+  * exact-duplicate groups are collapsed FIRST — the band self-join runs
+    over DISTINCT fingerprints only, so identical-fingerprint floods
+    (even below the spam threshold) contribute one row, not a quadratic
+    bucket.  Group members are re-attached as star edges (rep -> member),
+    which yields identical connected components with O(n) edges.
+  * band explode is array+explode (4 rows/fp), keys are JVM-side bit ops.
+  * the self-join emits each qualifying pair in ONLY its first matching
+    band (a whole-stage-codegen predicate over both fingerprints) — no
+    post-join dropDuplicates shuffle.
+  * residual hot band buckets (> cfg.band_bucket_cap distinct
+    fingerprints) are excluded from that band via a broadcast anti-join
+    and reported; pairs in them still meet in their other bands.  AQE
+    skew-join handles moderate imbalance.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from simhash_text_dedup_spark.config import DedupConfig
+from simhash_text_dedup_spark.functions.simhash import band_entries, band_key, hamming_col
+
+
+def exact_groups(survivors: DataFrame) -> tuple[DataFrame, DataFrame]:
+    """(distinct_fps, exact_edges) from spam_pass survivors.
+
+    survivors must carry fp_rep (min doc_id per fingerprint, produced by
+    spam_pass's window — no additional shuffle happens here).
+    exact_edges: (a_id=rep, b_id=member, hamming=0, kind='exact').
+    """
+    distinct_fps = (
+        survivors.filter(F.col("doc_id") == F.col("fp_rep"))
+        .select("doc_id", "fingerprint")
+    )
+    exact_edges = (
+        survivors.filter(F.col("doc_id") != F.col("fp_rep"))
+        .select(
+            F.col("fp_rep").alias("a_id"),
+            F.col("doc_id").alias("b_id"),
+            F.lit(0).alias("hamming"),
+            F.lit("exact").alias("kind"),
+        )
+    )
+    return distinct_fps, exact_edges
+
+
+def banded(distinct_fps: DataFrame, cfg: DedupConfig) -> DataFrame:
+    """Explode each distinct fingerprint into (band, band_key) rows."""
+    return distinct_fps.select(
+        "doc_id",
+        "fingerprint",
+        F.explode(band_entries(F.col("fingerprint"), cfg.n_bands, cfg.band_bits)).alias("e"),
+    ).select("doc_id", "fingerprint", "e.band", "e.band_key")
+
+
+def hot_buckets(banded_df: DataFrame, cfg: DedupConfig) -> DataFrame:
+    """Band buckets holding more than band_bucket_cap DISTINCT fingerprints.
+    Tiny by construction (it's a histogram tail)."""
+    return (
+        banded_df.groupBy("band", "band_key")
+        .agg(F.count(F.lit(1)).alias("bucket_size"))
+        .filter(F.col("bucket_size") > cfg.band_bucket_cap)
+    )
+
+
+def near_pairs(
+    distinct_fps: DataFrame, cfg: DedupConfig, skip_hot_buckets: bool = True
+) -> DataFrame:
+    """Verified near-duplicate pairs between distinct fingerprints:
+    (a_id, b_id, hamming, kind='near'), a_id < b_id, hamming in [1, k].
+    """
+    b = banded(distinct_fps, cfg)
+    if skip_hot_buckets:
+        hot = hot_buckets(b, cfg).select("band", "band_key")
+        b = b.join(F.broadcast(hot), ["band", "band_key"], "left_anti")
+
+    left = b.select(
+        F.col("band"),
+        F.col("band_key"),
+        F.col("doc_id").alias("a_id"),
+        F.col("fingerprint").alias("a_fp"),
+    )
+    right = b.select(
+        F.col("band"),
+        F.col("band_key"),
+        F.col("doc_id").alias("b_id"),
+        F.col("fingerprint").alias("b_fp"),
+    )
+    joined = left.join(right, ["band", "band_key"]).filter(F.col("a_id") < F.col("b_id"))
+
+    # emit each pair only in its first matching band: for this row's band
+    # i, every earlier band j < i must have differing keys on the two
+    # fingerprints (pure bit arithmetic — no dedup shuffle needed).
+    first_match = F.lit(True)
+    for j in range(cfg.n_bands - 1):
+        j_matches = band_key(F.col("a_fp"), j, cfg.n_bands, cfg.band_bits) == band_key(
+            F.col("b_fp"), j, cfg.n_bands, cfg.band_bits
+        )
+        first_match = first_match & ((F.col("band") <= F.lit(j)) | ~j_matches)
+
+    return (
+        joined.withColumn("hamming", hamming_col(F.col("a_fp"), F.col("b_fp")))
+        .filter((F.col("hamming") <= cfg.hamming_k) & (F.col("hamming") >= 1))
+        .filter(first_match)
+        .select("a_id", "b_id", "hamming", F.lit("near").alias("kind"))
+    )

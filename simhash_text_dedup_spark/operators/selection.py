@@ -1,0 +1,111 @@
+"""Winner selection + delete/modify action assignment.
+
+Reference semantics (incload/SelectLogicMapper.java:36-47,
+SelectLogicReducer.java:56-104): orient every verified pair so the
+higher-score side wins; walk pairs globally in score-descending order;
+the loser is killed unless its winner was already killed; a killed loser
+goes to the DELETE list if it is new/unloaded, to the MODIFY list if it
+was already loaded into the index.
+
+Two modes (cfg.selection):
+  'cc'     (default, parallel): representative = max score (doc_id
+           tie-break) per connected component; every non-representative
+           is a loser.  This matches greedy on clique-shaped families
+           and differs only on chain topologies (documented delta,
+           SURVEY.md §7.1 item 6), pinned by fixture F-CHAIN tests.
+  'greedy' (reference-exact): the greedy scan is run per component via
+           applyInPandas — components are tiny, so the sequential logic
+           parallelizes across components instead of the reference's
+           single reducer (SelectLogic.java:54).
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def assign_actions_cc(clusters_meta: DataFrame) -> DataFrame:
+    """clusters_meta(doc_id, cluster_id, score, is_new) ->
+    + is_representative, action in (keep | delete | modify)."""
+    w = Window.partitionBy("cluster_id").orderBy(
+        F.col("score").desc(), F.col("doc_id").asc()
+    )
+    return (
+        clusters_meta.withColumn("rn", F.row_number().over(w))
+        .withColumn("is_representative", F.col("rn") == 1)
+        .withColumn(
+            "action",
+            F.when(F.col("is_representative"), F.lit("keep"))
+            .when(F.col("is_new"), F.lit("delete"))
+            .otherwise(F.lit("modify")),
+        )
+        .drop("rn")
+    )
+
+
+_GREEDY_SCHEMA = (
+    "doc_id long, cluster_id long, score double, is_new boolean, "
+    "is_representative boolean, action string"
+)
+
+
+def _greedy_component(pdf: pd.DataFrame) -> pd.DataFrame:
+    """Reference-exact greedy over one component's pairs.
+
+    Input rows: one per pair occurrence (a_id,b_id,score_a,score_b,...)
+    plus per-doc meta; see assign_actions_greedy for the packing.
+    """
+    docs = pdf.drop_duplicates("doc_id").set_index("doc_id")
+    pairs = pdf[pdf["b_doc"].notna()][["doc_id", "b_doc"]].astype({"b_doc": "int64"})
+
+    # orient: winner = higher score, doc_id tie-break (SelectLogicMapper.java:39-44)
+    rows = []
+    for a, b in pairs.itertuples(index=False):
+        sa, sb = docs.at[a, "score"], docs.at[b, "score"]
+        if (sb, -b) > (sa, -a):
+            a, b = b, a
+            sa, sb = sb, sa
+        rows.append((sa, a, b))
+    # global order: score desc, then ids (SelectLogic.java:104-130)
+    rows.sort(key=lambda r: (-r[0], r[1], r[2]))
+
+    dead: set[int] = set()
+    for _, winner, loser in rows:
+        if winner in dead:
+            continue  # winner already killed -> loser survives this pair
+        dead.add(loser)
+
+    out = docs.reset_index()[["doc_id", "cluster_id", "score", "is_new"]].copy()
+    out["is_representative"] = ~out["doc_id"].isin(dead)
+    out["action"] = "keep"
+    killed = out["doc_id"].isin(dead)
+    out.loc[killed & out["is_new"], "action"] = "delete"
+    out.loc[killed & ~out["is_new"], "action"] = "modify"
+    return out
+
+
+def assign_actions_greedy(
+    clusters_meta: DataFrame, edges: DataFrame
+) -> DataFrame:
+    """Reference-exact greedy selection, parallel across components.
+
+    clusters_meta(doc_id, cluster_id, score, is_new); edges(a_id, b_id).
+    """
+    cl = clusters_meta.select("doc_id", "cluster_id", "score", "is_new")
+    pair_rows = (
+        edges.join(cl.withColumnRenamed("doc_id", "a_id"), "a_id")
+        .select(
+            F.col("a_id").alias("doc_id"),
+            "cluster_id",
+            "score",
+            "is_new",
+            F.col("b_id").alias("b_doc"),
+        )
+    )
+    doc_rows = cl.withColumn("b_doc", F.lit(None).cast("long"))
+    packed = doc_rows.unionByName(pair_rows)
+    return packed.groupBy("cluster_id").applyInPandas(
+        lambda pdf: _greedy_component(pdf), schema=_GREEDY_SCHEMA
+    )

@@ -1,0 +1,127 @@
+"""End-to-end parity: the Spark pipeline vs the single-process reference
+re-implementation (reference_impl.py) on the deterministic fixture
+corpus.  BASELINE targets: dup-pair recall >= 0.99 (we assert 1.0 via
+cluster co-membership) and exact cluster-assignment parity."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from simhash_text_dedup_spark.config import DedupConfig
+from simhash_text_dedup_spark.plans.pipeline import run_dedup
+from simhash_text_dedup_spark.reference_impl import Doc, reference_dedup
+from simhash_text_dedup_spark.sources.corpus import CorpusSpec, generate_corpus
+
+CFG = DedupConfig(spam_threshold=5)
+
+
+@pytest.fixture(scope="module")
+def corpus(spark):
+    docs_pdf, manifest_pdf = generate_corpus(CorpusSpec(n_docs=400, seed=42))
+    return spark.createDataFrame(docs_pdf), manifest_pdf
+
+
+@pytest.fixture(scope="module")
+def result(spark, corpus):
+    docs, _ = corpus
+    return run_dedup(spark, docs, CFG)
+
+
+@pytest.fixture(scope="module")
+def golden(result):
+    rows = result.fingerprints.collect()
+    docs = [
+        Doc(r.doc_id, r.fingerprint, r.score, r.is_new) for r in rows
+    ]
+    return reference_dedup(
+        docs,
+        hamming_k=CFG.hamming_k,
+        spam_threshold=CFG.spam_threshold,
+        selection="cc",
+    )
+
+
+def test_content_sha256_invariant(spark, corpus, result):
+    """Per-row invariant: pipeline sha256 == independently computed sha256."""
+    import hashlib
+
+    docs_df, _ = corpus
+    got = {
+        r.doc_id: r.content_sha256 for r in result.fingerprints.collect()
+    }
+    # recompute doc_id exactly as the pipeline (xxhash64) via Spark once
+    iddf = (
+        docs_df.withColumn("doc_id", F.xxhash64("repo", "path", "commit"))
+        .select("doc_id", "content")
+        .toPandas()
+    )
+    for _, row in iddf.iterrows():
+        assert got[row.doc_id] == hashlib.sha256(
+            row.content.encode("utf-8")
+        ).hexdigest()
+
+
+def test_spam_kills_match_reference(result, golden):
+    spark_kills = {
+        (r.doc_id, r.ref_doc_id) for r in result.spam_kills.collect()
+    }
+    assert spark_kills == set(golden.spam_kills)
+    assert len(spark_kills) > 0  # fixture plants flood families
+
+
+def test_pair_recall_and_precision(result, golden):
+    """Every golden pair must be co-clustered (recall); every found pair
+    must be a golden pair or an exact-dup star edge consistent with the
+    golden clusters (precision at the cluster level)."""
+    cl = {r.doc_id: r.cluster_id for r in result.clusters.collect()}
+    missing = [
+        (a, b) for (a, b) in golden.pairs if cl.get(a) != cl.get(b)
+    ]
+    assert not missing, f"golden pairs not co-clustered: {missing[:5]}"
+    recall = 1 - len(missing) / max(len(golden.pairs), 1)
+    assert recall >= 0.99
+    # precision: our materialized pairs must all be golden pairs
+    found = {(r.a_id, r.b_id) for r in result.pairs.collect()}
+    assert found <= golden.pairs, "pipeline emitted a non-golden pair"
+
+
+def test_cluster_parity(result, golden):
+    """Exact cluster-assignment parity (same partition of survivors)."""
+    spark_cl = {r.doc_id: r.cluster_id for r in result.clusters.collect()}
+    assert spark_cl == golden.clusters
+
+
+def test_actions_parity(result, golden):
+    spark_actions = {r.doc_id: r.action for r in result.clusters.collect()}
+    assert spark_actions == golden.actions
+
+
+def test_family_expectations(result, corpus):
+    """Planted families behave as designed (FIXTURES.md)."""
+    docs_df, man = corpus
+    iddf = (
+        docs_df.withColumn("doc_id", F.xxhash64("repo", "path", "commit"))
+        .select("doc_id", "repo", "path", "commit")
+        .toPandas()
+    )
+    man = man.merge(iddf, on=["repo", "path", "commit"])
+    cl = {r.doc_id: r.cluster_id for r in result.clusters.collect()}
+    kills = {r.doc_id for r in result.spam_kills.collect()}
+
+    fam_kind = man.family.str.rsplit("-", n=1).str[0]
+    for fam_name, grp in man.groupby("family"):
+        kind = fam_name.rsplit("-", 1)[0]
+        ids = list(grp.doc_id)
+        if kind == "F-EXACT-FLOOD":
+            surviving = [i for i in ids if i not in kills]
+            assert len(surviving) == 1, fam_name  # flood killed to 1
+        elif kind in ("F-EXACT", "F-WS", "F-NEAR", "F-CHAIN"):
+            labels = {cl[i] for i in ids}
+            assert len(labels) == 1, f"{fam_name} not one cluster: {labels}"
+        elif kind == "F-BORDER":
+            # Hamming 4..8 must NOT be SimHash-clustered together
+            labels = [cl[i] for i in ids]
+            assert len(set(labels)) == len(ids), fam_name
+    # F-UNIQ singletons must be their own cluster
+    uniq = man[fam_kind == "F-UNIQ"].doc_id
+    for i in uniq:
+        assert cl[i] == i
