@@ -1,0 +1,141 @@
+#!/usr/bin/env python
+"""Benchmark runner.
+
+Default mode (driver contract): runs the headline queries at
+$SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) on
+local[$SPARK_GRAFT_CPUS] and prints ONE JSON line:
+  {"metric": ..., "value": total_sec, "unit": "sec",
+   "queries": {...per-query sec...}, "sf": ...,
+   "dedup_files_per_sec": ...}
+
+--scaling mode: runs the identical dedup job at two parallelism levels
+(local[8] vs local[32], partitions scaled 4x) on the same synthetic
+source-code corpus and reports throughput at both plus scaling
+efficiency — the sandbox stand-in for the north rule's N vs 4N executor
+criterion (no real cluster here; see BENCH/BASELINE.md).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+BENCH_DOCS = int(os.environ.get("SPARK_GRAFT_BENCH_DOCS", "100000"))
+CORPUS_DIR = f"/tmp/simhash_bench_corpus_{BENCH_DOCS}"
+
+
+def ensure_corpus(n_docs: int) -> str:
+    """Deterministic synthetic source-code corpus, generated once."""
+    from simhash_text_dedup_spark.sources.corpus import CorpusSpec, write_corpus
+
+    marker = os.path.join(CORPUS_DIR, "documents.parquet")
+    if not os.path.exists(marker):
+        write_corpus(CORPUS_DIR, CorpusSpec(n_docs=n_docs, seed=42, spam_threshold=50))
+    return marker
+
+
+def run_dedup_bench(spark, corpus_path: str, shuffle_partitions: int) -> dict:
+    from simhash_text_dedup_spark.config import DedupConfig
+    from simhash_text_dedup_spark.plans.pipeline import run_dedup
+
+    spark.conf.set("spark.sql.shuffle.partitions", str(shuffle_partitions))
+    docs = spark.read.parquet(corpus_path)
+    n = docs.count()
+    cfg = DedupConfig(spam_threshold=50)
+    t0 = time.time()
+    res = run_dedup(spark, docs, cfg)
+    n_clusters = res.clusters.count()  # materializes the whole DAG
+    wall = time.time() - t0
+    return {
+        "n_docs": n,
+        "n_cluster_rows": n_clusters,
+        "sec": round(wall, 2),
+        "files_per_sec": round(n / wall, 1),
+    }
+
+
+def main_default() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+
+    from simhash_text_dedup_spark.session import get_spark
+
+    spark = get_spark(app="bench", cores=cpus, shuffle_partitions=cpus * 2)
+
+    import __spark_entry__ as entry_mod
+
+    queries = entry_mod.queries()
+    headline = [
+        "tpch_q1",
+        "word_count",
+        "top_k_per_group",
+        "token_stats",
+        "embedding_topk",
+        "exact_dup_groups",
+        "simhash_clusters",
+    ]
+    timings: dict[str, float] = {}
+    for name in headline:
+        t0 = time.time()
+        df = queries[name](spark, sf_dir)
+        df.write.format("noop").mode("overwrite").save()
+        timings[name] = round(time.time() - t0, 3)
+
+    # dedup throughput on the synthetic code corpus (the headline metric)
+    corpus = ensure_corpus(BENCH_DOCS)
+    dd = run_dedup_bench(spark, corpus, shuffle_partitions=cpus * 2)
+    timings["dedup_pipeline"] = dd["sec"]
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "bench_total_sec",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf_dir,
+                "dedup_files_per_sec": dd["files_per_sec"],
+                "dedup_n_docs": dd["n_docs"],
+            }
+        )
+    )
+    spark.stop()
+
+
+def main_scaling() -> None:
+    """Two-parallelism scaling evidence (writes BENCH/BASELINE results)."""
+    from simhash_text_dedup_spark.session import get_spark
+
+    corpus = ensure_corpus(BENCH_DOCS)
+    results = {}
+    for cores, parts in [(8, 16), (32, 64)]:
+        spark = get_spark(app=f"bench-scaling-{cores}", cores=cores,
+                          shuffle_partitions=parts)
+        # warm-up: JVM/codegen/Arrow paths, excluded from measurement
+        spark.read.parquet(corpus).limit(2000).count()
+        r = run_dedup_bench(spark, corpus, parts)
+        results[f"local[{cores}]"] = r
+        spark.stop()
+        time.sleep(2)
+
+    t8 = results["local[8]"]["sec"]
+    t32 = results["local[32]"]["sec"]
+    eff = round((t8 / t32) / 4.0, 3)
+    out = {
+        "metric": "scaling_efficiency_8_to_32",
+        "value": eff,
+        "unit": "ratio",
+        "runs": results,
+        "note": "efficiency = (T_8 / T_32) / 4; target >= 0.8",
+    }
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    if "--scaling" in sys.argv:
+        main_scaling()
+    else:
+        main_default()

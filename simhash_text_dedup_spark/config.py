@@ -41,6 +41,8 @@ class DedupConfig:
     band_bucket_cap: int = 20000
 
     # --- MinHash / LSH borderline path (north_star extension).
+    enable_minhash: bool = False
+    enable_containment: bool = False
     minhash_perms: int = 128
     minhash_bands: int = 32
     minhash_rows: int = 4           # 32 * 4 == 128

@@ -1,0 +1,93 @@
+"""MinHash signatures + banded LSH keys (vectorized).
+
+The north_star extension path (SURVEY.md §7.2 M5): word-shingle MinHash
+signatures, banded the same pigeonhole way as the SimHash path, catching
+near-duplicate pairs whose SimHash Hamming distance exceeds the radius
+(the F-BORDER fixture family).
+
+Frozen spec:
+  shingles   : same tokenizer + width as fingerprint_core (shared kernel
+               shingle_hashes_batch — one tokenize pass serves both).
+  perm hash i: splitmix64(shingle_hash XOR SEED_i), SEED_i =
+               splitmix64(i + 1) — multiply-mix universal-ish family.
+  signature  : elementwise min over the document's shingle hashes,
+               n_perms values, stored as array<bigint> (uint64 view).
+  band key j : splitmix64-fold of signature[j*r : (j+1)*r] XOR j
+               (so identical row-slices in different bands collide only
+               within the same band index).
+  empty docs : signature of all maxuint -> identical for all empty docs.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from simhash_text_dedup_spark.fingerprint_core import (
+    _splitmix64_np,
+    shingle_hashes_batch,
+)
+
+
+def _perm_seeds(n_perms: int) -> np.ndarray:
+    return _splitmix64_np(np.arange(1, n_perms + 1, dtype=np.uint64))
+
+
+def minhash_batch(
+    texts: list[str], n_perms: int = 128, width: int = 3
+) -> np.ndarray:
+    """(n_docs, n_perms) uint64 MinHash signature matrix."""
+    hashes, docix, n_docs = shingle_hashes_batch(texts, width)
+    sig = np.full((n_docs, n_perms), np.iinfo(np.uint64).max, dtype=np.uint64)
+    if len(hashes) == 0:
+        return sig
+    # sort by doc for reduceat segment-min
+    order = np.argsort(docix, kind="stable")
+    h = hashes[order]
+    d = docix[order]
+    # segment boundaries
+    uniq, starts = np.unique(d, return_index=True)
+    seeds = _perm_seeds(n_perms)
+    for i in range(n_perms):
+        v = _splitmix64_np(h ^ seeds[i])
+        mins = np.minimum.reduceat(v, starts)
+        sig[uniq, i] = mins
+    return sig
+
+
+def band_keys_from_sigs(
+    sigs: np.ndarray, n_bands: int, n_rows: int
+) -> np.ndarray:
+    """(n_docs, n_bands) int64 band keys by folding each row-slice."""
+    n_docs = sigs.shape[0]
+    out = np.empty((n_docs, n_bands), dtype=np.uint64)
+    for j in range(n_bands):
+        acc = np.full(n_docs, np.uint64(j) + np.uint64(0x9E3779B97F4A7C15), dtype=np.uint64)
+        for r in range(n_rows):
+            acc = _splitmix64_np(acc ^ sigs[:, j * n_rows + r])
+        out[:, j] = acc
+    return out.view(np.int64)
+
+
+def minhash_udf(n_perms: int = 128, n_bands: int = 32, width: int = 3):
+    """pandas UDF: content -> struct(sig array<bigint>, bands array<bigint>)."""
+    n_rows = n_perms // n_bands
+    schema = T.StructType(
+        [
+            T.StructField("sig", T.ArrayType(T.LongType()), False),
+            T.StructField("bands", T.ArrayType(T.LongType()), False),
+        ]
+    )
+
+    @F.pandas_udf(schema)
+    def _minhash(content: pd.Series) -> pd.DataFrame:
+        sigs = minhash_batch(content.fillna("").tolist(), n_perms, width)
+        bands = band_keys_from_sigs(sigs, n_bands, n_rows)
+        s64 = sigs.view(np.int64)
+        return pd.DataFrame(
+            {"sig": list(s64), "bands": list(bands)}
+        )
+
+    return _minhash

@@ -1,0 +1,111 @@
+"""MinHash/LSH candidate generation + signature-Jaccard verification,
+and the substring-containment check for borderline pairs.
+
+Complements the SimHash band join (operators/pairs.py): SimHash with
+Hamming <= 3 has high precision but misses heavier edits and
+containment; MinHash banding (32 bands x 4 rows over 128 perms) catches
+Jaccard >= ~0.7 pairs, and the containment check catches doc-inside-doc
+(F-CONTAIN fixtures).  Both feed the same edge set / clustering stage.
+
+Scale shape: the banded self-join shuffles only (doc_id, band_idx,
+band_key) — signatures are joined back onto the (small) candidate set
+afterwards, so the wide 128-long arrays never ride the big shuffle.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from simhash_text_dedup_spark.config import DedupConfig
+from simhash_text_dedup_spark.functions.minhash import minhash_udf
+
+
+def minhash_signatures(prepared: DataFrame, cfg: DedupConfig) -> DataFrame:
+    """doc_id, sig (array<bigint> n_perms), bands (array<bigint> n_bands)."""
+    mh = minhash_udf(cfg.minhash_perms, cfg.minhash_bands, cfg.minhash_shingle_width)
+    return prepared.select(
+        "doc_id", mh(F.col("content")).alias("m")
+    ).select("doc_id", "m.sig", "m.bands")
+
+
+def minhash_candidates(sigs: DataFrame, cfg: DedupConfig) -> DataFrame:
+    """Distinct candidate pairs (a_id < b_id) sharing >= 1 LSH band."""
+    banded = sigs.select(
+        "doc_id", F.posexplode("bands").alias("band_idx", "band_key")
+    )
+    left = banded.select(
+        "band_idx", "band_key", F.col("doc_id").alias("a_id")
+    )
+    right = banded.select(
+        "band_idx", "band_key", F.col("doc_id").alias("b_id")
+    )
+    return (
+        left.join(right, ["band_idx", "band_key"])
+        .filter(F.col("a_id") < F.col("b_id"))
+        .select("a_id", "b_id")
+        .dropDuplicates(["a_id", "b_id"])
+    )
+
+
+def minhash_verified_pairs(
+    sigs: DataFrame, cfg: DedupConfig
+) -> DataFrame:
+    """(a_id, b_id, est_jaccard, kind='minhash') with signature-estimated
+    Jaccard >= cfg.jaccard_threshold."""
+    cands = minhash_candidates(sigs, cfg)
+    a = sigs.select(F.col("doc_id").alias("a_id"), F.col("sig").alias("a_sig"))
+    b = sigs.select(F.col("doc_id").alias("b_id"), F.col("sig").alias("b_sig"))
+    n = cfg.minhash_perms
+    matches = F.size(
+        F.filter(
+            F.zip_with(F.col("a_sig"), F.col("b_sig"), lambda x, y: x == y),
+            lambda t: t,
+        )
+    )
+    return (
+        cands.join(a, "a_id")
+        .join(b, "b_id")
+        .withColumn("est_jaccard", matches / F.lit(float(n)))
+        .filter(F.col("est_jaccard") >= cfg.jaccard_threshold)
+        .select("a_id", "b_id", "est_jaccard", F.lit("minhash").alias("kind"))
+    )
+
+
+_CONTAIN_SCHEMA = "a_id long, b_id long, contained boolean"
+
+
+def containment_check(
+    candidate_pairs: DataFrame, prepared: DataFrame
+) -> DataFrame:
+    """Exact substring-containment verification for borderline pairs.
+
+    For each candidate pair, checks whether one content is a substring
+    of the other.  A per-pair scan (Python str.find is a C-implemented
+    two-way/Boyer-Moore-class search — the pragmatic stand-in for a
+    per-pair suffix array; the candidate set is small, so this runs as a
+    vectorized batch over pairs, not over the corpus).
+    Returns (a_id, b_id, contained=true) rows only.
+    """
+    contents = prepared.select("doc_id", "content")
+    a = contents.select(
+        F.col("doc_id").alias("a_id"), F.col("content").alias("a_content")
+    )
+    b = contents.select(
+        F.col("doc_id").alias("b_id"), F.col("content").alias("b_content")
+    )
+    joined = candidate_pairs.select("a_id", "b_id").join(a, "a_id").join(b, "b_id")
+
+    def _check(it):
+        for pdf in it:
+            short = pdf.apply(
+                lambda r: (r.a_content in r.b_content)
+                or (r.b_content in r.a_content),
+                axis=1,
+            ) if len(pdf) else pd.Series([], dtype=bool)
+            out = pdf[["a_id", "b_id"]].copy()
+            out["contained"] = short.values if len(pdf) else []
+            yield out[out["contained"]]
+
+    return joined.mapInPandas(_check, schema=_CONTAIN_SCHEMA)

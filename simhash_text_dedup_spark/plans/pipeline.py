@@ -16,7 +16,7 @@ from __future__ import annotations
 import os
 from dataclasses import dataclass
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from simhash_text_dedup_spark.config import DedupConfig
@@ -91,7 +91,11 @@ class Checkpointer:
 
     def through(self, df: DataFrame, stage: str) -> DataFrame:
         if not self.root:
-            return df
+            # no durable checkpointing requested: still cut lineage and
+            # materialize once (the CC loop and multiple sinks would
+            # otherwise recompute the pandas-UDF fingerprint stage per
+            # action)
+            return df.localCheckpoint(eager=False)
         path = os.path.join(self.root, stage)
         marker = os.path.join(path, "_SUCCESS")
         if not (self.resume and os.path.exists(marker)):
@@ -109,6 +113,13 @@ def run_dedup(
     ck = Checkpointer(spark, checkpoint_dir, resume)
     metrics: dict = {}
 
+    # a single-file parquet source opens as 1-2 partitions; spread the
+    # pandas-UDF fingerprint work across all cores. At cluster scale the
+    # input already has >= parallelism partitions and this is skipped.
+    parallelism = spark.sparkContext.defaultParallelism
+    if docs.rdd.getNumPartitions() < parallelism:
+        docs = docs.repartition(parallelism)
+
     prepared = prepare_documents(docs)
     fps = ck.through(fingerprint_stage(prepared, cfg), "fingerprints")
 
@@ -118,7 +129,57 @@ def run_dedup(
 
     distinct_fps, exact_edges = exact_groups(survivors)
     near = near_pairs(distinct_fps, cfg)
-    pairs = ck.through(exact_edges.unionByName(near), "pairs")
+    all_pairs = exact_edges.unionByName(near)
+
+    # --- borderline paths (north_star M5): MinHash LSH + containment ---
+    if cfg.enable_minhash or cfg.enable_containment:
+        from simhash_text_dedup_spark.operators.minhash_pairs import (
+            containment_check,
+            minhash_candidates,
+            minhash_signatures,
+            minhash_verified_pairs,
+        )
+
+        surviving_prepared = prepared.join(
+            survivors.select("doc_id"), "doc_id", "left_semi"
+        )
+        sigs = ck.through(
+            minhash_signatures(surviving_prepared, cfg), "minhash_sigs"
+        )
+        if cfg.enable_minhash:
+            mh = minhash_verified_pairs(sigs, cfg).select(
+                "a_id", "b_id", F.lit(None).cast("int").alias("hamming"), "kind"
+            )
+            all_pairs = all_pairs.withColumn(
+                "hamming", F.col("hamming").cast("int")
+            ).unionByName(mh)
+        if cfg.enable_containment:
+            cands = minhash_candidates(sigs, cfg)
+            cont = containment_check(cands, surviving_prepared).select(
+                "a_id",
+                "b_id",
+                F.lit(None).cast("int").alias("hamming"),
+                F.lit("containment").alias("kind"),
+            )
+            all_pairs = all_pairs.withColumn(
+                "hamming", F.col("hamming").cast("int")
+            ).unionByName(cont)
+        # a pair may be found by several matchers; keep one row each
+        # (kind priority: exact > near > minhash > containment)
+        prio = (
+            F.when(F.col("kind") == "exact", 0)
+            .when(F.col("kind") == "near", 1)
+            .when(F.col("kind") == "minhash", 2)
+            .otherwise(3)
+        )
+        w = Window.partitionBy("a_id", "b_id").orderBy(prio)
+        all_pairs = (
+            all_pairs.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") == 1)
+            .drop("_rn")
+        )
+
+    pairs = ck.through(all_pairs, "pairs")
 
     cc = connected_components(pairs.select("a_id", "b_id"), cfg.cc_max_iter)
 

@@ -1,0 +1,91 @@
+"""MinHash/LSH + containment borderline path (north_star M5)."""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from simhash_text_dedup_spark.config import DedupConfig
+from simhash_text_dedup_spark.functions.minhash import (
+    band_keys_from_sigs,
+    minhash_batch,
+)
+from simhash_text_dedup_spark.plans.pipeline import run_dedup
+from simhash_text_dedup_spark.sources.corpus import CorpusSpec, generate_corpus
+
+
+def jaccard_tokens(a: str, b: str, w: int = 3) -> float:
+    from simhash_text_dedup_spark.fingerprint_core import tokenize
+
+    def sh(t):
+        toks = tokenize(t)
+        return {tuple(toks[i : i + w]) for i in range(max(len(toks) - w + 1, 1))}
+
+    sa, sb = sh(a), sh(b)
+    return len(sa & sb) / max(len(sa | sb), 1)
+
+
+def test_minhash_estimates_jaccard():
+    base = " ".join(f"tok{i}" for i in range(300))
+    variants = [
+        base,
+        base.replace("tok10", "X").replace("tok200", "Y"),
+        " ".join(f"tok{i}" for i in range(150)),  # half of base
+        "completely different words entirely " * 20,
+    ]
+    sigs = minhash_batch(variants, n_perms=128)
+    for i in (1, 2, 3):
+        est = (sigs[0] == sigs[i]).mean()
+        true = jaccard_tokens(base, variants[i])
+        assert abs(est - true) < 0.15, (i, est, true)
+
+
+def test_minhash_deterministic_across_batching():
+    docs = [f"alpha beta gamma {i} delta" * (i % 5 + 1) for i in range(50)]
+    whole = minhash_batch(docs)
+    parts = np.vstack([minhash_batch(docs[:20]), minhash_batch(docs[20:])])
+    assert (whole == parts).all()
+
+
+def test_band_keys_shape():
+    sigs = minhash_batch(["a b c d e f g h", "a b c d e f g h"], n_perms=128)
+    bands = band_keys_from_sigs(sigs, 32, 4)
+    assert bands.shape == (2, 32)
+    assert (bands[0] == bands[1]).all()  # identical docs -> identical keys
+
+
+@pytest.fixture(scope="module")
+def ext_result(spark):
+    docs_pdf, man = generate_corpus(CorpusSpec(n_docs=300, seed=42))
+    cfg = DedupConfig(
+        spam_threshold=5, enable_minhash=True, enable_containment=True
+    )
+    res = run_dedup(spark, spark.createDataFrame(docs_pdf), cfg)
+    return res, man, docs_pdf
+
+
+def test_extended_pipeline_catches_borderline_and_containment(spark, ext_result):
+    res, man, docs_pdf = ext_result
+    iddf = (
+        spark.createDataFrame(docs_pdf)
+        .withColumn("doc_id", F.xxhash64("repo", "path", "commit"))
+        .select("doc_id", "repo", "path", "commit")
+        .toPandas()
+    )
+    man = man.merge(iddf, on=["repo", "path", "commit"])
+    cl = {r.doc_id: r.cluster_id for r in res.clusters.collect()}
+    kinds = {
+        (r.a_id, r.b_id): r.kind for r in res.pairs.collect()
+    }
+    assert any(k == "minhash" for k in kinds.values()), "no minhash pairs found"
+
+    n_contain_hit = 0
+    for fam, grp in man.groupby("family"):
+        kind = fam.rsplit("-", 1)[0]
+        ids = list(grp.doc_id)
+        if kind == "F-BORDER" and len(ids) == 2:
+            # SimHash missed these (Hamming 4..8); MinHash must cluster them
+            assert cl[ids[0]] == cl[ids[1]], f"{fam} not clustered by minhash"
+        if kind == "F-CONTAIN" and len(ids) == 2:
+            if cl[ids[0]] == cl[ids[1]]:
+                n_contain_hit += 1
+    assert n_contain_hit >= 1, "containment path caught nothing"
