@@ -287,6 +287,44 @@ def q_embedding_topk(spark, sf):
     )
 
 
+def q_lang_id(spark, sf):
+    # F10 analog: heuristic language ID (cybozu langdetect in the
+    # reference) as pure built-in expressions with an exact SQL twin
+    from simhash_text_dedup_spark.functions.langid import detect_lang
+
+    return _docs(spark, sf).select(
+        "doc_id", detect_lang(F.col("text")).alias("lang_pred")
+    )
+
+
+def q_ngram_jaccard(spark, sf):
+    # n-gram Jaccard similarity (dedup family); deterministic pairing of
+    # consecutive doc_ids keeps it SQL-oracle-able; integer permille
+    d = _docs(spark, sf).select("doc_id", "text")
+    toks = F.split(F.col("text"), " ")
+    sh = F.when(
+        F.size(toks) >= 3,
+        F.transform(
+            F.sequence(F.lit(0), F.size(toks) - 3),
+            lambda i: F.concat_ws(" ", F.slice(toks, i + 1, 3)),
+        ),
+    ).otherwise(F.array(F.concat_ws(" ", toks)))
+    g = d.select("doc_id", F.array_distinct(sh).alias("grams"))
+    a = g.select(F.col("doc_id").alias("a_id"), F.col("grams").alias("a_g"))
+    b = g.select((F.col("doc_id") - 1).alias("a_id"), F.col("doc_id").alias("b_id"),
+                 F.col("grams").alias("b_g"))
+    inter = F.size(F.array_intersect(F.col("a_g"), F.col("b_g"))).cast("bigint")
+    union = F.size(F.array_union(F.col("a_g"), F.col("b_g"))).cast("bigint")
+    return (
+        a.join(b, "a_id")
+        .select(
+            "a_id", "b_id",
+            (((inter * 1000) - F.pmod(inter * 1000, union)) / union)
+            .cast("bigint").alias("jaccard_permille"),
+        )
+    )
+
+
 # --- dedup-specific (non-SQL-expressible: rows-only driver check) -----
 def q_simhash_fingerprints(spark, sf):
     from simhash_text_dedup_spark.config import DedupConfig
@@ -310,6 +348,48 @@ def q_doc_fingerprint_xxhash(spark, sf):
     return _docs(spark, sf).select("doc_id", doc_fingerprint(F.col("text")).alias("fp64"))
 
 
+def q_minhash_pairs(spark, sf):
+    # MinHash/LSH near-dup pairs over the documents table (rows-only)
+    from simhash_text_dedup_spark.config import DedupConfig
+    from simhash_text_dedup_spark.operators.minhash_pairs import (
+        minhash_signatures,
+        minhash_verified_pairs,
+    )
+
+    cfg = DedupConfig(jaccard_threshold=0.5)
+    d = _docs(spark, sf).select("doc_id", F.col("text").alias("content"))
+    sigs = minhash_signatures(d, cfg)
+    return minhash_verified_pairs(sigs, cfg).select("a_id", "b_id", "est_jaccard")
+
+
+def q_embedding_topk_lsh(spark, sf):
+    # approximate ANN: hyperplane-LSH candidates + exact re-rank
+    from simhash_text_dedup_spark.operators.similarity import lsh_topk
+
+    emb = _read(spark, sf, "embeddings")
+    queries_df = (
+        emb.orderBy("vec_id").limit(5)
+        .select(F.col("vec_id").alias("query_id"), "embedding")
+    )
+    return lsh_topk(emb, queries_df, k=10).select(
+        "query_id", "neighbor_id", F.col("rank").cast("bigint").alias("rank")
+    )
+
+
+def q_multimodal_features(spark, sf):
+    # multimodal plumbing: binary payload -> feature vectors (rows-only;
+    # decode step is a deterministic stub, Spark plumbing is real)
+    from simhash_text_dedup_spark.operators.multimodal import (
+        extract_features,
+        make_fake_media,
+    )
+
+    media = make_fake_media(spark, n=60, seed=42)
+    return extract_features(media).select(
+        "doc_id", "kind", "n_bytes", F.size("feature").alias("feature_dim")
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "scan_filter_project": q_scan_filter_project,
@@ -329,13 +409,25 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_stats": q_token_stats,
         "stopword_ratio": q_stopword_ratio,
         "embedding_topk": q_embedding_topk,
+        "lang_id": q_lang_id,
+        "ngram_jaccard": q_ngram_jaccard,
         "simhash_fingerprints": q_simhash_fingerprints,
         "simhash_clusters": q_simhash_clusters,
         "doc_fingerprint_xxhash": q_doc_fingerprint_xxhash,
+        "minhash_pairs": q_minhash_pairs,
+        "embedding_topk_lsh": q_embedding_topk_lsh,
+        "multimodal_features": q_multimodal_features,
     }
 
 
+def _lang_id_sql() -> str:
+    from simhash_text_dedup_spark.functions.langid import detect_lang_sql
+
+    return f"SELECT doc_id, {detect_lang_sql('text')} AS lang_pred FROM documents"
+
+
 def oracle_sql() -> dict[str, str]:
+    _LANG_ID_SQL = _lang_id_sql()
     stop_list = "['the','of','and','to','in','is','for','that','with','a']"
     return {
         "scan_filter_project": """
@@ -496,8 +588,27 @@ def oracle_sql() -> dict[str, str]:
             SELECT query_id, neighbor_id, rank
             FROM ranked WHERE rank <= 10
         """,
-        # simhash_fingerprints / simhash_clusters / doc_fingerprint_xxhash:
-        # intentionally omitted — non-SQL-expressible (pandas-UDF SimHash,
-        # iterative connected components, xxhash64); driver records the
-        # rows-only check.
+        "lang_id": _LANG_ID_SQL,
+        "ngram_jaccard": """
+            WITH g AS (
+              SELECT doc_id,
+                     list_distinct(CASE
+                       WHEN len(string_split(text, ' ')) >= 3 THEN
+                         list_transform(range(1, len(string_split(text, ' ')) - 1),
+                           i -> array_to_string(string_split(text, ' ')[i:i+2], ' '))
+                       ELSE [text]
+                     END) AS grams
+              FROM documents
+            )
+            SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+                   (len(list_intersect(a.grams, b.grams)) * 1000)
+                     // len(list_distinct(list_concat(a.grams, b.grams)))
+                     AS jaccard_permille
+            FROM g a JOIN g b ON b.doc_id = a.doc_id + 1
+        """,
+        # simhash_fingerprints / simhash_clusters / doc_fingerprint_xxhash /
+        # minhash_pairs / embedding_topk_lsh / multimodal_features:
+        # intentionally omitted — non-SQL-expressible (pandas-UDF SimHash /
+        # MinHash, iterative connected components, xxhash64, LSH sketches,
+        # binary decode); driver records the rows-only check.
     }

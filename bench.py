@@ -23,16 +23,18 @@ import sys
 import time
 
 BENCH_DOCS = int(os.environ.get("SPARK_GRAFT_BENCH_DOCS", "100000"))
-CORPUS_DIR = f"/tmp/simhash_bench_corpus_{BENCH_DOCS}"
+CORPUS_DIR = f"/tmp/simhash_bench_corpus_v2_{BENCH_DOCS}"
 
 
 def ensure_corpus(n_docs: int) -> str:
-    """Deterministic synthetic source-code corpus, generated once."""
+    """Deterministic synthetic source-code corpus, generated once.
+    Generator spam_threshold=5 keeps flood families small (8 copies, ~8%
+    of the corpus) — a realistic dup mix rather than a flood-dominated one."""
     from simhash_text_dedup_spark.sources.corpus import CorpusSpec, write_corpus
 
     marker = os.path.join(CORPUS_DIR, "documents.parquet")
     if not os.path.exists(marker):
-        write_corpus(CORPUS_DIR, CorpusSpec(n_docs=n_docs, seed=42, spam_threshold=50))
+        write_corpus(CORPUS_DIR, CorpusSpec(n_docs=n_docs, seed=42, spam_threshold=5))
     return marker
 
 

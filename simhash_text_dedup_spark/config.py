@@ -34,6 +34,10 @@ class DedupConfig:
 
     # --- Connected components (label propagation).
     cc_max_iter: int = 25
+    # edge sets at or below this size use driver-side union-find (dedup
+    # edge sets are tiny relative to the corpus); above it, distributed
+    # min-label propagation. ~16 bytes/edge of driver memory.
+    cc_driver_threshold: int = 2_000_000
 
     # --- Band-bucket skew cap: buckets larger than this are salted into
     # sub-buckets compared against a capped sample (scale guard; the

@@ -206,13 +206,19 @@ def simhash_batch(texts: Sequence[str], width: int = 3) -> np.ndarray:
         h = hashes[order]
         d = docix[order]
         uniq, starts = np.unique(d, return_index=True)
-        seg_sizes = np.diff(np.append(starts, m))
-        # (m, 64) uint8 bit matrix; x86 little-endian view => column b is bit b
-        bits = np.unpackbits(
-            h.view(np.uint8).reshape(-1, 8), axis=1, bitorder="little"
-        )
-        # chunked reduceat to keep the int32 copy bounded (~128 MB / chunk)
-        ones = np.add.reduceat(bits, starts, axis=0, dtype=np.int64)
+        ends = np.append(starts[1:], m)
+        seg_sizes = ends - starts
+        # per-document unpack+sum keeps each (seg, 64) bit matrix cache-
+        # resident — ~6x faster than one giant unpackbits + reduceat and
+        # far more robust under many-core memory contention (measured:
+        # reduceat collapses 100x at 32-way concurrency).
+        byte_view = h.view(np.uint8).reshape(-1, 8)
+        ones = np.empty((len(uniq), 64), dtype=np.int64)
+        for i in range(len(uniq)):
+            seg = np.unpackbits(
+                byte_view[starts[i] : ends[i]], axis=1, bitorder="little"
+            )
+            ones[i] = seg.sum(axis=0, dtype=np.int64)
         set_bits = (2 * ones) > seg_sizes[:, None]
         packed = np.packbits(
             set_bits.astype(np.uint8), axis=1, bitorder="little"

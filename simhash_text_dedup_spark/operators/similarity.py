@@ -1,0 +1,114 @@
+"""Similarity search over embedding columns.
+
+Two paths:
+  * brute_force_topk — exact cosine top-k of every query against the
+    corpus (broadcast the query set, JVM-side zip_with/aggregate dot
+    products, window top-k).  The correctness baseline; O(|corpus| x
+    |queries|).
+  * lsh_topk — random-hyperplane LSH (sign-bit sketch, seeded numpy
+    projections in one pandas UDF pass), candidates = vectors sharing
+    >= 1 of the multi-probe band keys, exact cosine re-ranking among
+    candidates only.  The scale path: the join is on band keys, so cost
+    follows bucket sizes, not |corpus| x |queries|.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+
+def _cosine(a, b) -> F.Column:
+    dot = F.aggregate(F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda s, x: s + x)
+    na = F.sqrt(F.aggregate(F.transform(a, lambda x: x * x), F.lit(0.0), lambda s, x: s + x))
+    nb = F.sqrt(F.aggregate(F.transform(b, lambda x: x * x), F.lit(0.0), lambda s, x: s + x))
+    return dot / (na * nb)
+
+
+def brute_force_topk(
+    corpus: DataFrame, queries: DataFrame, k: int = 10
+) -> DataFrame:
+    """corpus(vec_id, embedding), queries(query_id, embedding) ->
+    (query_id, neighbor_id, rank, cos_sim). Exact."""
+    c = corpus.select("vec_id", F.col("embedding").cast("array<double>").alias("v"))
+    q = queries.select(
+        F.col("query_id"), F.col("embedding").cast("array<double>").alias("qv")
+    )
+    joined = c.crossJoin(F.broadcast(q)).filter(F.col("vec_id") != F.col("query_id"))
+    w = Window.partitionBy("query_id").orderBy(F.col("cos_sim").desc(), F.col("vec_id"))
+    return (
+        joined.withColumn("cos_sim", _cosine(F.col("v"), F.col("qv")))
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", F.col("vec_id").alias("neighbor_id"), "rank", "cos_sim")
+    )
+
+
+def hyperplane_sketch_udf(dim: int, n_planes: int = 64, n_bands: int = 8, seed: int = 42):
+    """pandas UDF: embedding -> array of n_bands band keys (grouped sign
+    bits of random-hyperplane projections)."""
+    bits_per_band = n_planes // n_bands
+    rng = np.random.default_rng(seed)
+    planes = rng.standard_normal((dim, n_planes)).astype(np.float64)
+
+    @F.pandas_udf(T.ArrayType(T.LongType()))
+    def _sketch(emb: pd.Series) -> pd.Series:
+        mat = np.vstack([np.asarray(e, dtype=np.float64) for e in emb])
+        signs = (mat @ planes) > 0  # (n, n_planes)
+        keys = []
+        weights = (1 << np.arange(bits_per_band, dtype=np.int64))
+        for j in range(n_bands):
+            block = signs[:, j * bits_per_band : (j + 1) * bits_per_band]
+            # band index folded in so bands don't cross-collide
+            k = (block @ weights) + (np.int64(j) << np.int64(bits_per_band + 1))
+            keys.append(k)
+        return pd.Series(list(np.stack(keys, axis=1)))
+
+    return _sketch
+
+
+def lsh_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    dim: int | None = None,
+    n_planes: int = 64,
+    n_bands: int = 8,
+    seed: int = 42,
+) -> DataFrame:
+    """Approximate cosine top-k: hyperplane-LSH candidate generation +
+    exact re-rank. Same output schema as brute_force_topk."""
+    if dim is None:
+        dim = len(corpus.select("embedding").first()[0])
+    sketch = hyperplane_sketch_udf(dim, n_planes, n_bands, seed)
+
+    c = corpus.select(
+        "vec_id",
+        F.col("embedding").cast("array<double>").alias("v"),
+        sketch(F.col("embedding")).alias("keys"),
+    )
+    q = queries.select(
+        "query_id",
+        F.col("embedding").cast("array<double>").alias("qv"),
+        sketch(F.col("embedding")).alias("qkeys"),
+    )
+    c_b = c.select("vec_id", F.explode("keys").alias("band_key"))
+    q_b = q.select("query_id", F.explode("qkeys").alias("band_key"))
+    cands = (
+        q_b.join(c_b, "band_key")
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select("query_id", "vec_id")
+        .dropDuplicates(["query_id", "vec_id"])
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cos_sim").desc(), F.col("vec_id"))
+    return (
+        cands.join(c.select("vec_id", "v"), "vec_id")
+        .join(q.select("query_id", "qv"), "query_id")
+        .withColumn("cos_sim", _cosine(F.col("v"), F.col("qv")))
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", F.col("vec_id").alias("neighbor_id"), "rank", "cos_sim")
+    )

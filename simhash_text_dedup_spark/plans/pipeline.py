@@ -84,10 +84,25 @@ class DedupResult:
 class Checkpointer:
     """Parquet stage checkpoints with existence-based resume — the Spark
     analog of the reference's *_old folder state machine
-    (SelectAndSendJob.java:852-934)."""
+    (SelectAndSendJob.java:852-934) — plus per-stage / per-partition
+    lineage and throughput metrics (the analog of the reference's Hadoop
+    counters, SURVEY.md §2.4 A7; north-rule requirement).
 
-    def __init__(self, spark: SparkSession, root: str | None, resume: bool = True):
+    With `lineage=True` each checkpointed stage records wall seconds,
+    row count, partition count, and the per-partition row histogram
+    (min/max/mean + full list) into `<root>/_lineage.json`.
+    """
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        root: str | None,
+        resume: bool = True,
+        lineage: bool = False,
+    ):
         self.spark, self.root, self.resume = spark, root, resume
+        self.lineage = lineage and root is not None
+        self.stages: list[dict] = []
 
     def through(self, df: DataFrame, stage: str) -> DataFrame:
         if not self.root:
@@ -96,11 +111,49 @@ class Checkpointer:
             # otherwise recompute the pandas-UDF fingerprint stage per
             # action)
             return df.localCheckpoint(eager=False)
+        import time
+
         path = os.path.join(self.root, stage)
         marker = os.path.join(path, "_SUCCESS")
-        if not (self.resume and os.path.exists(marker)):
+        resumed = self.resume and os.path.exists(marker)
+        t0 = time.time()
+        if not resumed:
             df.write.mode("overwrite").parquet(path)
-        return self.spark.read.parquet(path)
+        wall = time.time() - t0
+        out = self.spark.read.parquet(path)
+        if self.lineage:
+            per_part = [
+                (r.part, r.cnt)
+                for r in out.groupBy(
+                    F.spark_partition_id().alias("part")
+                ).agg(F.count(F.lit(1)).alias("cnt")).collect()
+            ]
+            counts = [c for _, c in per_part] or [0]
+            rows = sum(counts)
+            self.stages.append(
+                {
+                    "stage": stage,
+                    "resumed": resumed,
+                    "write_sec": round(wall, 3),
+                    "rows": rows,
+                    "rows_per_sec": round(rows / wall, 1) if wall > 0 and not resumed else None,
+                    "n_partitions": len(per_part),
+                    "partition_rows": {
+                        "min": min(counts),
+                        "max": max(counts),
+                        "mean": round(rows / max(len(counts), 1), 1),
+                    },
+                    "per_partition": sorted(per_part),
+                }
+            )
+        return out
+
+    def flush_lineage(self) -> None:
+        if self.lineage and self.stages:
+            import json
+
+            with open(os.path.join(self.root, "_lineage.json"), "w") as f:
+                json.dump(self.stages, f, indent=1)
 
 
 def run_dedup(
@@ -109,8 +162,9 @@ def run_dedup(
     cfg: DedupConfig = DedupConfig(),
     checkpoint_dir: str | None = None,
     resume: bool = True,
+    lineage: bool = False,
 ) -> DedupResult:
-    ck = Checkpointer(spark, checkpoint_dir, resume)
+    ck = Checkpointer(spark, checkpoint_dir, resume, lineage)
     metrics: dict = {}
 
     # a single-file parquet source opens as 1-2 partitions; spread the
@@ -181,7 +235,9 @@ def run_dedup(
 
     pairs = ck.through(all_pairs, "pairs")
 
-    cc = connected_components(pairs.select("a_id", "b_id"), cfg.cc_max_iter)
+    cc = connected_components(
+        pairs.select("a_id", "b_id"), cfg.cc_max_iter, cfg.cc_driver_threshold
+    )
 
     # attach singletons (docs in no edge) with cluster_id = doc_id
     meta = survivors.select("doc_id", "score", "is_new")
@@ -195,6 +251,8 @@ def run_dedup(
     else:
         clusters = assign_actions_cc(clusters_meta)
     clusters = ck.through(clusters, "clusters")
+    ck.flush_lineage()
+    metrics["stages"] = ck.stages
 
     return DedupResult(
         fingerprints=fps,

@@ -1,0 +1,93 @@
+"""Streaming ingestion + windowed aggregation (SURVEY §2.9 mapping)."""
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from simhash_text_dedup_spark.sources.corpus import CorpusSpec, generate_corpus
+from simhash_text_dedup_spark.streaming.ingest import (
+    EVENTS_SCHEMA,
+    stream_fingerprint_ingest,
+    windowed_event_stats,
+)
+
+
+def test_fingerprint_ingest_two_batches(spark, tmp_path_factory):
+    root = tmp_path_factory.mktemp("stream")
+    in_dir, out_dir, ck = str(root / "in"), str(root / "out"), str(root / "ck")
+    os.makedirs(in_dir)
+
+    docs, _ = generate_corpus(CorpusSpec(n_docs=60, seed=3))
+    docs.iloc[:30].to_parquet(f"{in_dir}/batch0.parquet", index=False)
+
+    q = stream_fingerprint_ingest(spark, in_dir, out_dir, ck)
+    q.awaitTermination(120)
+    n1 = spark.read.parquet(out_dir).count()
+    assert n1 == 30
+
+    # second round: new file arrives, stream resumes from checkpoint and
+    # processes ONLY the new file (exactly-once over the folder — the
+    # reference's *_old rename mechanism, SelectAndSendJob.java:852-934)
+    docs.iloc[30:].to_parquet(f"{in_dir}/batch1.parquet", index=False)
+    q2 = stream_fingerprint_ingest(spark, in_dir, out_dir, ck)
+    q2.awaitTermination(120)
+    out = spark.read.parquet(out_dir)
+    assert out.count() == 60
+    assert out.select("doc_id").distinct().count() == 60
+
+    # fingerprints identical to the batch pipeline's
+    from simhash_text_dedup_spark.config import DedupConfig
+    from simhash_text_dedup_spark.plans.pipeline import (
+        fingerprint_stage,
+        prepare_documents,
+    )
+
+    batch = fingerprint_stage(
+        prepare_documents(spark.createDataFrame(docs)), DedupConfig()
+    )
+    got = {r.doc_id: r.fingerprint for r in out.collect()}
+    want = {r.doc_id: r.fingerprint for r in batch.collect()}
+    assert got == want
+
+
+def test_windowed_event_stats_matches_batch(spark, tmp_path_factory):
+    root = tmp_path_factory.mktemp("estream")
+    src = "/root/testdata/sf0.001/events.parquet"
+
+    stream = (
+        spark.readStream.schema(EVENTS_SCHEMA)
+        .parquet(os.path.dirname(src) )
+    )
+    # restrict the folder read to the events file only: copy it
+    import shutil
+
+    in_dir = str(root / "ev")
+    os.makedirs(in_dir)
+    shutil.copy(src, f"{in_dir}/events.parquet")
+    stream = spark.readStream.schema(EVENTS_SCHEMA).parquet(in_dir)
+
+    agg = windowed_event_stats(stream, window="1 hour", watermark="0 seconds")
+    q = (
+        agg.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName("ev_out")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = spark.sql("SELECT * FROM ev_out")
+
+    batch = (
+        spark.read.parquet(src)
+        .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 4).alias("total_value"))
+        .select(
+            F.col("w.start").alias("window_start"),
+            F.col("w.end").alias("window_end"),
+            "event_type", "n", "total_value",
+        )
+    )
+    g = {tuple(r) for r in got.collect()}
+    b = {tuple(r) for r in batch.collect()}
+    assert g == b and len(g) > 0
