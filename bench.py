@@ -23,7 +23,7 @@ import sys
 import time
 
 BENCH_DOCS = int(os.environ.get("SPARK_GRAFT_BENCH_DOCS", "100000"))
-CORPUS_DIR = f"/tmp/simhash_bench_corpus_v2_{BENCH_DOCS}"
+CORPUS_DIR = f"/tmp/simhash_bench_corpus_v4_{BENCH_DOCS}"
 
 
 def ensure_corpus(n_docs: int) -> str:
@@ -116,10 +116,27 @@ def main_scaling() -> None:
     for cores, parts in [(8, 16), (32, 64)]:
         spark = get_spark(app=f"bench-scaling-{cores}", cores=cores,
                           shuffle_partitions=parts)
-        # warm-up: JVM/codegen/Arrow paths, excluded from measurement
-        spark.read.parquet(corpus).limit(2000).count()
-        r = run_dedup_bench(spark, corpus, parts)
-        results[f"local[{cores}]"] = r
+        # warm-up, excluded from measurement: spawn + import every python
+        # worker (pandas UDF across all cores), JIT codegen, Arrow paths.
+        # Production executors reuse workers, so steady-state is the
+        # honest number; cold spawn of N workers is a one-time session
+        # cost that would otherwise dominate the high-core run.
+        from pyspark.sql import functions as F
+
+        from simhash_text_dedup_spark.functions.simhash import simhash_udf
+
+        warm = (
+            spark.read.parquet(corpus).limit(cores * 400).repartition(cores)
+        )
+        warm.select(F.count(simhash_udf()(F.col("content")))).collect()
+        # median of 3: this sandbox VM's effective memory bandwidth
+        # fluctuates run-to-run (observed 2-3x swings on identical warm
+        # jobs), so single measurements are meaningless
+        reps = [run_dedup_bench(spark, corpus, parts) for _ in range(3)]
+        reps.sort(key=lambda r: r["sec"])
+        med = reps[1]
+        med["all_secs"] = [r["sec"] for r in reps]
+        results[f"local[{cores}]"] = med
         spark.stop()
         time.sleep(2)
 
@@ -131,7 +148,7 @@ def main_scaling() -> None:
         "value": eff,
         "unit": "ratio",
         "runs": results,
-        "note": "efficiency = (T_8 / T_32) / 4; target >= 0.8",
+        "note": "efficiency = (T_8 / T_32) / 4 on median-of-3; target >= 0.8",
     }
     print(json.dumps(out))
 

@@ -1,0 +1,59 @@
+#!/usr/bin/env python
+"""spark-submit entry point for the dedup pipeline.
+
+    spark-submit --py-files simhash_text_dedup_spark.zip \
+        jobs/run_pipeline.py --input <documents parquet/table> \
+        --checkpoint <dir> --output <dir> [--spam-threshold N]
+        [--selection cc|greedy] [--minhash] [--containment]
+        [--resume] [--lineage]
+
+On a cluster, package the library with
+    (cd <repo> && zip -r simhash_text_dedup_spark.zip simhash_text_dedup_spark)
+and pass it via --py-files (BASELINE north rule launch contract).
+"""
+
+from __future__ import annotations
+
+import argparse
+
+
+def main() -> None:
+    p = argparse.ArgumentParser()
+    p.add_argument("--input", required=True)
+    p.add_argument("--output", required=True)
+    p.add_argument("--checkpoint", default=None)
+    p.add_argument("--spam-threshold", type=int, default=1000)
+    p.add_argument("--selection", choices=["cc", "greedy"], default="cc")
+    p.add_argument("--minhash", action="store_true")
+    p.add_argument("--containment", action="store_true")
+    p.add_argument("--resume", action="store_true")
+    p.add_argument("--lineage", action="store_true")
+    args = p.parse_args()
+
+    from pyspark.sql import SparkSession
+
+    from simhash_text_dedup_spark.config import DedupConfig
+    from simhash_text_dedup_spark.plans.pipeline import run_dedup
+
+    spark = SparkSession.builder.appName("simhash-dedup").getOrCreate()
+    cfg = DedupConfig(
+        spam_threshold=args.spam_threshold,
+        selection=args.selection,
+        enable_minhash=args.minhash,
+        enable_containment=args.containment,
+    )
+    docs = spark.read.parquet(args.input)
+    res = run_dedup(
+        spark, docs, cfg,
+        checkpoint_dir=args.checkpoint,
+        resume=args.resume,
+        lineage=args.lineage,
+    )
+    res.clusters.write.mode("overwrite").parquet(f"{args.output}/clusters")
+    res.pairs.write.mode("overwrite").parquet(f"{args.output}/pairs")
+    res.spam_kills.write.mode("overwrite").parquet(f"{args.output}/spam_kills")
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -9,11 +9,15 @@ identically by the Spark pipeline, the tests, and the single-process
 reference re-implementation (reference_impl.py).
 
 FROZEN SPEC (do not change without regenerating goldens):
-  tokens      = re.findall(r"\\w+", content)          # case-sensitive
+  bytes       = content encoded as UTF-8
+  word byte   = [0-9A-Za-z_] or any byte >= 0x80
+  tokens      = maximal runs of word bytes (case-sensitive)
+  token hash  = splitmix64( polynomial hash of the token bytes ):
+                poly = sum_i byte_i * M^(L-1-i)  mod 2^64,
+                M = 0x100000001B3 (FNV-64 prime)
   shingles    = overlapping windows of `width` tokens; if
                 0 < len(tokens) < width, one shingle = all tokens;
                 if len(tokens) == 0 the fingerprint is 0.
-  token hash  = blake2b(token_utf8, digest_size=8) as big-endian uint64
   shingle hash= acc = SEED; for each token hash h in the shingle:
                 acc = splitmix64(acc XOR h)           # order-sensitive
   weight      = 1 per shingle OCCURRENCE (frequency weighting arises
@@ -23,27 +27,34 @@ FROZEN SPEC (do not change without regenerating goldens):
   output      = the 64-bit word reinterpreted as a SIGNED int64
                 (Spark LongType).
 
+Everything is integer arithmetic mod 2^64, so the batch kernel is pure
+numpy over flat byte/uint64 arrays — no Python string objects, no
+per-token hashing loop.  (An earlier revision tokenized with `re` into
+Python strings and blake2b-hashed a vocabulary; allocator churn made it
+degrade ~9x under 32-way concurrency.  The polynomial hash is
+prefix-computable: with S[i] = cumsum(byte_j * Minv^j) the hash of span
+[s, e) is (S[e-1] - S[s-1]) * M^(e-1), two gathers per token.)
+
 Two implementations:
   * ``simhash_one``  — direct, loop-based: the executable specification.
-  * ``simhash_batch``— numpy-vectorized over a batch of documents
-    (token vocabulary hashed once, shingle mixing and bit accumulation
-    done on flat uint64 arrays; per-bit ``np.bincount`` — no per-row
-    Python in the hot path). Property-tested equal to ``simhash_one``.
+  * ``simhash_batch``— numpy-vectorized, property-tested equal to it.
 """
 
 from __future__ import annotations
 
-import hashlib
-import re
-from typing import Iterable, Sequence
+from typing import Sequence
 
 import numpy as np
 
-TOKEN_RE = re.compile(r"\w+")
 SEED = np.uint64(0x9E3779B97F4A7C15)
+FNV_PRIME = 0x100000001B3
+FNV_PRIME_INV = pow(FNV_PRIME, -1, 1 << 64)
 
-_U64 = np.uint64
-_MASK64 = np.uint64(0xFFFFFFFFFFFFFFFF)
+# word-byte lookup table: [0-9A-Za-z_] plus every byte >= 0x80
+WORD_BYTE = np.zeros(256, dtype=bool)
+for _b in range(256):
+    _c = chr(_b)
+    WORD_BYTE[_b] = _c.isalnum() and _b < 0x80 or _c == "_" or _b >= 0x80
 
 
 # ----------------------------------------------------------------------
@@ -67,11 +78,31 @@ def _splitmix64_np(x: np.ndarray) -> np.ndarray:
         return z ^ (z >> np.uint64(31))
 
 
-def token_hash(token: str) -> int:
-    """blake2b-8 of the utf-8 token, big-endian uint64."""
-    return int.from_bytes(
-        hashlib.blake2b(token.encode("utf-8"), digest_size=8).digest(), "big"
-    )
+# ----------------------------------------------------------------------
+# Executable specification (slow, obvious, pure Python)
+# ----------------------------------------------------------------------
+def tokenize(text: str) -> list[bytes]:
+    """Maximal runs of word bytes in the UTF-8 encoding."""
+    data = text.encode("utf-8")
+    toks, cur = [], bytearray()
+    for b in data:
+        if WORD_BYTE[b]:
+            cur.append(b)
+        elif cur:
+            toks.append(bytes(cur))
+            cur = bytearray()
+    if cur:
+        toks.append(bytes(cur))
+    return toks
+
+
+def token_hash(token: bytes | str) -> int:
+    if isinstance(token, str):
+        token = token.encode("utf-8")
+    poly = 0
+    for b in token:
+        poly = (poly * FNV_PRIME + b) & 0xFFFFFFFFFFFFFFFF
+    return _splitmix64_py(poly)
 
 
 def shingle_hash(token_hashes: Sequence[int]) -> int:
@@ -81,19 +112,11 @@ def shingle_hash(token_hashes: Sequence[int]) -> int:
     return acc
 
 
-def tokenize(text: str) -> list[str]:
-    return TOKEN_RE.findall(text)
-
-
-# ----------------------------------------------------------------------
-# Executable specification (slow, obvious)
-# ----------------------------------------------------------------------
 def simhash_one(text: str, width: int = 3) -> int:
     """SimHash of one document per the frozen spec. Returns signed int64."""
-    tokens = tokenize(text)
-    if not tokens:
+    hs = [token_hash(t) for t in tokenize(text)]
+    if not hs:
         return 0
-    hs = [token_hash(t) for t in tokens]
     if len(hs) < width:
         shingles = [shingle_hash(hs)]
     else:
@@ -106,113 +129,130 @@ def simhash_one(text: str, width: int = 3) -> int:
     for b in range(64):
         if acc[b] > 0:
             fp |= 1 << b
-    # reinterpret as signed int64
     return fp - (1 << 64) if fp >= (1 << 63) else fp
 
 
 # ----------------------------------------------------------------------
 # Vectorized batch kernel (the production path inside the pandas UDF)
 # ----------------------------------------------------------------------
-def _hash_vocab(vocab: Iterable[str]) -> np.ndarray:
-    out = np.empty(len(vocab), dtype=np.uint64)
-    h = hashlib.blake2b
-    fb = int.from_bytes
-    for i, tok in enumerate(vocab):
-        out[i] = fb(h(tok.encode("utf-8"), digest_size=8).digest(), "big")
-    return out
+# inner chunk size: bounds the prefix arrays (3 x uint64 x buffer bytes)
+# so each worker's live set stays cache-friendly at high concurrency
+CHUNK_DOCS = 512
+
+
+def _token_hashes_chunk(texts: Sequence[str]) -> tuple[np.ndarray, np.ndarray]:
+    """Flat (token_hashes uint64, token_doc int64) for <= CHUNK_DOCS texts."""
+    bufs = [t.encode("utf-8") for t in texts]
+    joined = b"\x00".join(bufs)
+    if not joined:
+        return np.empty(0, np.uint64), np.empty(0, np.int64)
+    arr = np.frombuffer(joined, dtype=np.uint8)
+    mask = WORD_BYTE[arr]
+
+    d = np.diff(mask.astype(np.int8), prepend=np.int8(0), append=np.int8(0))
+    starts = np.flatnonzero(d == 1)
+    ends = np.flatnonzero(d == -1)
+    if len(starts) == 0:
+        return np.empty(0, np.uint64), np.empty(0, np.int64)
+
+    n = len(arr)
+    with np.errstate(over="ignore"):
+        # pw[j] = M^j, ipw[j] = M^-j (mod 2^64)
+        pw = np.empty(n, dtype=np.uint64)
+        ipw = np.empty(n, dtype=np.uint64)
+        pw[0] = 1
+        ipw[0] = 1
+        if n > 1:
+            np.cumprod(np.full(n - 1, FNV_PRIME, dtype=np.uint64), out=pw[1:])
+            np.cumprod(np.full(n - 1, FNV_PRIME_INV, dtype=np.uint64), out=ipw[1:])
+        # S[i] = sum_{j<=i} byte_j * M^-j
+        S = np.cumsum(arr.astype(np.uint64) * ipw, dtype=np.uint64)
+        # poly of [s, e) = (S[e-1] - S[s-1]) * M^(e-1)
+        left = np.where(starts > 0, S[starts - 1], np.uint64(0))
+        poly = (S[ends - 1] - left) * pw[ends - 1]
+        th = _splitmix64_np(poly)
+
+    # doc index per token: doc i occupies [off[i], off[i]+len_i)
+    lens = np.fromiter((len(b) for b in bufs), dtype=np.int64, count=len(bufs))
+    doc_starts = np.concatenate(([0], np.cumsum(lens + 1)))[:-1]
+    token_doc = np.searchsorted(doc_starts, starts, side="right") - 1
+    return th, token_doc
 
 
 def shingle_hashes_batch(
     texts: Sequence[str], width: int = 3
 ) -> tuple[np.ndarray, np.ndarray, int]:
-    """All shingle hashes for a batch of documents, flattened.
+    """All shingle hashes for a batch, flattened.
 
-    Returns (hashes uint64[m], doc_index int64[m], n_docs). Documents with
-    zero tokens contribute no shingles. Short documents (< width tokens)
-    contribute exactly one shingle over all their tokens.
+    Returns (hashes uint64[m], doc_index int64[m], n_docs), doc_index
+    nondecreasing.  Zero-token documents contribute no shingles; short
+    documents (< width tokens) contribute one shingle over all tokens.
     """
     n_docs = len(texts)
-    flat_tokens: list[str] = []
-    doc_of_token: list[int] = []
-    for i, t in enumerate(texts):
-        toks = TOKEN_RE.findall(t) if t else []
-        flat_tokens.extend(toks)
-        doc_of_token.extend([i] * len(toks))
-    if not flat_tokens:
-        return (
-            np.empty(0, dtype=np.uint64),
-            np.empty(0, dtype=np.int64),
-            n_docs,
-        )
+    out_h: list[np.ndarray] = []
+    out_d: list[np.ndarray] = []
+    for c0 in range(0, n_docs, CHUNK_DOCS):
+        chunk = texts[c0 : c0 + CHUNK_DOCS]
+        th, tdoc = _token_hashes_chunk(chunk)
+        m = len(th)
+        if m == 0:
+            continue
+        counts = np.bincount(tdoc, minlength=len(chunk))
+        starts = np.concatenate(([0], np.cumsum(counts)))[:-1]
 
-    # hash each UNIQUE token once (vocabulary is far smaller than the stream)
-    import pandas as pd
+        # full-width shingles on the flat array
+        if m >= width:
+            valid = tdoc[: m - width + 1] == tdoc[width - 1 :]
+            with np.errstate(over="ignore"):
+                acc = np.full(max(m - width + 1, 0), SEED, dtype=np.uint64)
+                for k in range(width):
+                    acc = _splitmix64_np(acc ^ th[k : m - width + 1 + k])
+            sh_full = acc[valid]
+            sh_doc = tdoc[: m - width + 1][valid]
+        else:
+            sh_full = np.empty(0, np.uint64)
+            sh_doc = np.empty(0, np.int64)
 
-    codes, vocab = pd.factorize(np.asarray(flat_tokens, dtype=object))
-    th = _hash_vocab(list(vocab))[codes]  # uint64 per token occurrence
-    di = np.asarray(doc_of_token, dtype=np.int64)
-
-    # token counts / offsets per doc
-    counts = np.bincount(di, minlength=n_docs)
-    starts = np.concatenate(([0], np.cumsum(counts)))[:-1]
-
-    # --- full-width shingles, computed on the flat array -----------------
-    # position j starts a shingle iff j+width-1 is within the same doc
-    m = len(th)
-    if m >= width:
-        valid = di[: m - width + 1] == di[width - 1 :]
-    else:
-        valid = np.zeros(0, dtype=bool)
-    with np.errstate(over="ignore"):
-        acc = np.full(max(m - width + 1, 0), SEED, dtype=np.uint64)
-        for k in range(width):
-            acc = _splitmix64_np(acc ^ th[k : m - width + 1 + k])
-    sh_full = acc[valid]
-    sh_full_doc = di[: m - width + 1][valid] if m >= width else np.empty(0, np.int64)
-
-    # --- short docs (0 < tokens < width): one shingle over all tokens ----
-    short_docs = np.nonzero((counts > 0) & (counts < width))[0]
-    if len(short_docs):
-        sh_short = np.empty(len(short_docs), dtype=np.uint64)
-        with np.errstate(over="ignore"):
-            for idx, d in enumerate(short_docs):
-                a = SEED
-                for h in th[starts[d] : starts[d] + counts[d]]:
-                    a = _splitmix64_np(np.uint64(a) ^ h)
-                sh_short[idx] = a
-        hashes = np.concatenate([sh_full, sh_short])
-        docix = np.concatenate([sh_full_doc, short_docs.astype(np.int64)])
-    else:
-        hashes, docix = sh_full, sh_full_doc
-    return hashes, docix, n_docs
+        # short docs: one shingle over all tokens
+        short = np.nonzero((counts > 0) & (counts < width))[0]
+        if len(short):
+            sh_s = np.empty(len(short), dtype=np.uint64)
+            with np.errstate(over="ignore"):
+                for idx, dd in enumerate(short):
+                    a = SEED
+                    for h in th[starts[dd] : starts[dd] + counts[dd]]:
+                        a = _splitmix64_np(np.uint64(a) ^ h)
+                    sh_s[idx] = a
+            hashes = np.concatenate([sh_full, sh_s])
+            docix = np.concatenate([sh_doc, short.astype(np.int64)])
+            order = np.argsort(docix, kind="stable")
+            hashes, docix = hashes[order], docix[order]
+        else:
+            hashes, docix = sh_full, sh_doc
+        out_h.append(hashes)
+        out_d.append(docix + c0)
+    if not out_h:
+        return np.empty(0, np.uint64), np.empty(0, np.int64), n_docs
+    return np.concatenate(out_h), np.concatenate(out_d), n_docs
 
 
 def simhash_batch(texts: Sequence[str], width: int = 3) -> np.ndarray:
     """SimHash for a batch of documents. Returns int64[n] (signed view).
 
-    Bit accumulation: unpack all shingle hashes to a (m, 64) bit matrix
-    (unpackbits, little-endian so column b == bit b of the uint64), then
-    per-document segment sums via add.reduceat — SIMD-wide, ~10x faster
-    than per-bit bincount.  bit b of the fingerprint is set iff
-    sum(+1/-1) > 0, i.e. 2 * ones_b > n_shingles (tie -> 0).
-    """
+    Bit accumulation: per-document unpackbits + column sum keeps each
+    (segment, 64) bit matrix cache-resident — robust under many-core
+    memory contention (a global unpackbits+reduceat collapsed ~100x at
+    32-way concurrency)."""
     hashes, docix, n_docs = shingle_hashes_batch(texts, width)
     if n_docs == 0:
         return np.empty(0, dtype=np.int64)
     fp = np.zeros(n_docs, dtype=np.uint64)
     m = len(hashes)
     if m:
-        order = np.argsort(docix, kind="stable")
-        h = hashes[order]
-        d = docix[order]
-        uniq, starts = np.unique(d, return_index=True)
+        uniq, starts = np.unique(docix, return_index=True)
         ends = np.append(starts[1:], m)
         seg_sizes = ends - starts
-        # per-document unpack+sum keeps each (seg, 64) bit matrix cache-
-        # resident — ~6x faster than one giant unpackbits + reduceat and
-        # far more robust under many-core memory contention (measured:
-        # reduceat collapses 100x at 32-way concurrency).
-        byte_view = h.view(np.uint8).reshape(-1, 8)
+        byte_view = hashes.view(np.uint8).reshape(-1, 8)
         ones = np.empty((len(uniq), 64), dtype=np.int64)
         for i in range(len(uniq)):
             seg = np.unpackbits(

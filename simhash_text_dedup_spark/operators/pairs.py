@@ -56,6 +56,53 @@ def exact_groups(survivors: DataFrame) -> tuple[DataFrame, DataFrame]:
     return distinct_fps, exact_edges
 
 
+def expand_pairs(near: DataFrame, survivors: DataFrame) -> DataFrame:
+    """Expand rep-level 'near' pairs to DOC-level pairs (a_id < b_id),
+    plus within-fingerprint-group all-pairs.
+
+    The reference emits pairs between every pair of documents
+    (DeDupMapper probes each row against every bucket member); the
+    rep-level representation is equivalent for clustering but the
+    reference-exact greedy selection (SelectLogicReducer.java:56-104)
+    walks doc-level pairs.  Group sizes are bounded by the spam
+    threshold, so the within-group quadratic expansion is capped.
+    """
+    members = survivors.select(
+        F.col("fp_rep").alias("rep"), F.col("doc_id").alias("member")
+    )
+
+    # within-group all-pairs (Hamming 0)
+    a = members.select("rep", F.col("member").alias("x"))
+    b = members.select("rep", F.col("member").alias("y"))
+    within = (
+        a.join(b, "rep")
+        .filter(F.col("x") < F.col("y"))
+        .select(
+            F.col("x").alias("a_id"),
+            F.col("y").alias("b_id"),
+            F.lit(0).alias("hamming"),
+            F.lit("exact").alias("kind"),
+        )
+    )
+
+    # rep-level near pairs -> member x member
+    exp = (
+        near.select(
+            F.col("a_id").alias("rep_a"), F.col("b_id").alias("rep_b"),
+            "hamming", "kind",
+        )
+        .join(members.select(F.col("rep").alias("rep_a"), F.col("member").alias("ma")), "rep_a")
+        .join(members.select(F.col("rep").alias("rep_b"), F.col("member").alias("mb")), "rep_b")
+        .select(
+            F.least("ma", "mb").alias("a_id"),
+            F.greatest("ma", "mb").alias("b_id"),
+            "hamming",
+            "kind",
+        )
+    )
+    return within.unionByName(exp)
+
+
 def banded(distinct_fps: DataFrame, cfg: DedupConfig) -> DataFrame:
     """Explode each distinct fingerprint into (band, band_key) rows."""
     return distinct_fps.select(

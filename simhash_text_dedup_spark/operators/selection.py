@@ -58,7 +58,10 @@ def _greedy_component(pdf: pd.DataFrame) -> pd.DataFrame:
     plus per-doc meta; see assign_actions_greedy for the packing.
     """
     docs = pdf.drop_duplicates("doc_id").set_index("doc_id")
-    pairs = pdf[pdf["b_doc"].notna()][["doc_id", "b_doc"]].astype({"b_doc": "int64"})
+    # b_doc == doc_id marks a plain doc row (sentinel keeps the column
+    # int64 end-to-end; a nullable long becomes float64 in pandas and
+    # corrupts large ids in the low bits)
+    pairs = pdf[pdf["b_doc"] != pdf["doc_id"]][["doc_id", "b_doc"]]
 
     # orient: winner = higher score, doc_id tie-break (SelectLogicMapper.java:39-44)
     rows = []
@@ -104,7 +107,7 @@ def assign_actions_greedy(
             F.col("b_id").alias("b_doc"),
         )
     )
-    doc_rows = cl.withColumn("b_doc", F.lit(None).cast("long"))
+    doc_rows = cl.withColumn("b_doc", F.col("doc_id"))
     packed = doc_rows.unionByName(pair_rows)
     return packed.groupBy("cluster_id").applyInPandas(
         lambda pdf: _greedy_component(pdf), schema=_GREEDY_SCHEMA

@@ -247,7 +247,20 @@ def run_dedup(
     )
 
     if cfg.selection == "greedy":
-        clusters = assign_actions_greedy(clusters_meta, pairs.select("a_id", "b_id"))
+        # reference-exact greedy walks DOC-level pairs; expand rep-level
+        # near pairs + exact groups to full pairs (bounded by the spam
+        # threshold, so never quadratic in a flood)
+        from simhash_text_dedup_spark.operators.pairs import expand_pairs
+
+        # 'near' pairs are rep-level -> expand; minhash/containment pairs
+        # are already doc-level -> pass through
+        doc_pairs = expand_pairs(pairs.filter(F.col("kind") == "near"), survivors)
+        other = pairs.filter(~F.col("kind").isin("near", "exact")).select(
+            "a_id", "b_id"
+        )
+        clusters = assign_actions_greedy(
+            clusters_meta, doc_pairs.select("a_id", "b_id").unionByName(other)
+        )
     else:
         clusters = assign_actions_cc(clusters_meta)
     clusters = ck.through(clusters, "clusters")

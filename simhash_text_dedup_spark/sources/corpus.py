@@ -227,8 +227,20 @@ def write_corpus(out_dir: str, spec: CorpusSpec) -> tuple[str, str]:
 
     os.makedirs(out_dir, exist_ok=True)
     docs, man = generate_corpus(spec)
+    # documents is a DIRECTORY of parquet files (like any production
+    # table): Spark gets one real partition per file, so scans and the
+    # fingerprint UDF parallelize without an extra repartition shuffle.
+    # A single-row-group monolith gives one non-empty byte-range split
+    # and silently serializes the whole UDF stage (observed 4x).
     dp = os.path.join(out_dir, "documents.parquet")
+    os.makedirs(dp, exist_ok=True)
+    files_per = 4096
+    for i, c0 in enumerate(range(0, len(docs), files_per)):
+        docs.iloc[c0 : c0 + files_per].to_parquet(
+            os.path.join(dp, f"part-{i:05d}.parquet"),
+            index=False,
+            row_group_size=4096,
+        )
     mp = os.path.join(out_dir, "manifest.parquet")
-    docs.to_parquet(dp, index=False)
-    man.to_parquet(mp, index=False)
+    man.to_parquet(mp, index=False, row_group_size=8192)
     return dp, mp
