@@ -287,6 +287,46 @@ def q_embedding_topk(spark, sf):
     )
 
 
+def q_sessionize(spark, sf):
+    # sessionization: lag + cumulative gap counter (training-pipeline
+    # classic; SURVEY §2.5 window patterns)
+    e = _read(spark, sf, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = F.unix_timestamp("ts") - F.unix_timestamp(F.lag("ts").over(w))
+    sess = F.sum(
+        F.when(gap.isNull() | (gap > 1800), 1).otherwise(0)
+    ).over(w.rowsBetween(Window.unboundedPreceding, 0))
+    return (
+        e.withColumn("session_id", sess)
+        .groupBy("user_id", "session_id")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_sessions"),
+            F.max("n_events").alias("max_session_events"),
+        )
+    )
+
+
+def q_rollup_revenue(spark, sf):
+    # grouping-sets / rollup (engine completeness beyond the reference)
+    li = _read(spark, sf, "lineitem")
+    return (
+        li.rollup("l_returnflag", "l_linestatus")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2)
+            .alias("revenue"),
+        )
+        .select(
+            F.coalesce(F.col("l_returnflag"), F.lit("ALL")).alias("returnflag"),
+            F.coalesce(F.col("l_linestatus"), F.lit("ALL")).alias("linestatus"),
+            "n",
+            "revenue",
+        )
+    )
+
+
 def q_lang_id(spark, sf):
     # F10 analog: heuristic language ID (cybozu langdetect in the
     # reference) as pure built-in expressions with an exact SQL twin
@@ -376,6 +416,57 @@ def q_embedding_topk_lsh(spark, sf):
     )
 
 
+def q_incremental_round(spark, sf):
+    # incremental new-vs-old dedup round (SURVEY §3.1/§2.9; rows-only)
+    from simhash_text_dedup_spark.config import DedupConfig
+    from simhash_text_dedup_spark.plans.incremental import run_incremental
+    from simhash_text_dedup_spark.plans.pipeline import (
+        fingerprint_stage,
+        prepare_documents,
+    )
+
+    cfg = DedupConfig(spam_threshold=100)
+    d = _docs(spark, sf)
+    base_docs = d.filter(F.col("doc_id") % 5 != 0).select(
+        F.lit("corpus").alias("repo"),
+        F.col("doc_id").cast("string").alias("path"),
+        F.lit("c0").alias("commit"),
+        "lang",
+        F.col("text").alias("content"),
+    )
+    new_docs = d.filter(F.col("doc_id") % 5 == 0).select(
+        F.lit("corpus").alias("repo"),
+        F.col("doc_id").cast("string").alias("path"),
+        F.lit("c1").alias("commit"),
+        "lang",
+        F.col("text").alias("content"),
+    )
+    prep = prepare_documents(base_docs).withColumn(
+        "entity_id", F.xxhash64("repo", "path")
+    )
+    base_fps = (
+        fingerprint_stage(prep, cfg)
+        .join(prep.select("doc_id", "entity_id"), "doc_id")
+        .select("doc_id", "entity_id", "fingerprint", "score")
+    )
+    res = run_incremental(spark, new_docs, base_fps, cfg)
+    dels = res.delete_list.select("doc_id", F.lit("delete").alias("list"))
+    mods = res.modify_list.select("doc_id", F.lit("modify").alias("list"))
+    unl = res.unload.select("doc_id", F.lit("unload").alias("list"))
+    return dels.unionByName(mods).unionByName(unl)
+
+
+def q_simhash_clusters_greedy(spark, sf):
+    # reference-exact greedy selection mode (rows-only)
+    from simhash_text_dedup_spark.config import DedupConfig
+    from simhash_text_dedup_spark.plans.pipeline import run_dedup
+
+    res = run_dedup(
+        spark, _docs(spark, sf), DedupConfig(spam_threshold=100, selection="greedy")
+    )
+    return res.clusters.select("doc_id", "cluster_id", "action")
+
+
 def q_multimodal_features(spark, sf):
     # multimodal plumbing: binary payload -> feature vectors (rows-only;
     # decode step is a deterministic stub, Spark plumbing is real)
@@ -411,12 +502,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_topk": q_embedding_topk,
         "lang_id": q_lang_id,
         "ngram_jaccard": q_ngram_jaccard,
+        "sessionize": q_sessionize,
+        "rollup_revenue": q_rollup_revenue,
         "simhash_fingerprints": q_simhash_fingerprints,
         "simhash_clusters": q_simhash_clusters,
         "doc_fingerprint_xxhash": q_doc_fingerprint_xxhash,
         "minhash_pairs": q_minhash_pairs,
         "embedding_topk_lsh": q_embedding_topk_lsh,
         "multimodal_features": q_multimodal_features,
+        "incremental_round": q_incremental_round,
+        "simhash_clusters_greedy": q_simhash_clusters_greedy,
     }
 
 
@@ -589,6 +684,34 @@ def oracle_sql() -> dict[str, str]:
             FROM ranked WHERE rank <= 10
         """,
         "lang_id": _LANG_ID_SQL,
+        "sessionize": """
+            WITH g AS (
+              SELECT user_id, event_id, ts,
+                     epoch(ts) - epoch(lag(ts) OVER
+                       (PARTITION BY user_id ORDER BY ts, event_id)) AS gap
+              FROM events
+            ), s AS (
+              SELECT user_id,
+                     sum(CASE WHEN gap IS NULL OR gap > 1800 THEN 1 ELSE 0 END)
+                       OVER (PARTITION BY user_id ORDER BY ts, event_id
+                             ROWS UNBOUNDED PRECEDING) AS session_id
+              FROM g
+            ), per_sess AS (
+              SELECT user_id, session_id, count(*) AS n_events
+              FROM s GROUP BY user_id, session_id
+            )
+            SELECT user_id, count(*) AS n_sessions,
+                   max(n_events) AS max_session_events
+            FROM per_sess GROUP BY user_id
+        """,
+        "rollup_revenue": """
+            SELECT coalesce(l_returnflag, 'ALL') AS returnflag,
+                   coalesce(l_linestatus, 'ALL') AS linestatus,
+                   count(*) AS n,
+                   round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+            FROM lineitem
+            GROUP BY ROLLUP (l_returnflag, l_linestatus)
+        """,
         "ngram_jaccard": """
             WITH g AS (
               SELECT doc_id,

@@ -136,8 +136,11 @@ def simhash_one(text: str, width: int = 3) -> int:
 # Vectorized batch kernel (the production path inside the pandas UDF)
 # ----------------------------------------------------------------------
 # inner chunk size: bounds the prefix arrays (3 x uint64 x buffer bytes)
-# so each worker's live set stays cache-friendly at high concurrency
-CHUNK_DOCS = 512
+# so each worker's live set stays CACHE-resident at high concurrency.
+# Swept empirically on the 32-core sandbox: 64 docs (~220 KB text ->
+# ~5 MB arrays) is 2x faster than 512 and scales 2->8 procs at ~0.9
+# per-core efficiency (512 drops to ~0.6 — the arrays stream via DRAM).
+CHUNK_DOCS = 64
 
 
 def _token_hashes_chunk(texts: Sequence[str]) -> tuple[np.ndarray, np.ndarray]:

@@ -35,25 +35,30 @@ def _perm_seeds(n_perms: int) -> np.ndarray:
     return _splitmix64_np(np.arange(1, n_perms + 1, dtype=np.uint64))
 
 
+MINHASH_CHUNK_DOCS = 1024
+
+
 def minhash_batch(
     texts: list[str], n_perms: int = 128, width: int = 3
 ) -> np.ndarray:
-    """(n_docs, n_perms) uint64 MinHash signature matrix."""
-    hashes, docix, n_docs = shingle_hashes_batch(texts, width)
+    """(n_docs, n_perms) uint64 MinHash signature matrix.
+
+    Processes the batch in doc chunks so the per-chunk shingle array
+    stays cache-resident across the 128 permutation passes (same
+    many-core contention fix as fingerprint_core.CHUNK_DOCS)."""
+    n_docs = len(texts)
     sig = np.full((n_docs, n_perms), np.iinfo(np.uint64).max, dtype=np.uint64)
-    if len(hashes) == 0:
-        return sig
-    # sort by doc for reduceat segment-min
-    order = np.argsort(docix, kind="stable")
-    h = hashes[order]
-    d = docix[order]
-    # segment boundaries
-    uniq, starts = np.unique(d, return_index=True)
     seeds = _perm_seeds(n_perms)
-    for i in range(n_perms):
-        v = _splitmix64_np(h ^ seeds[i])
-        mins = np.minimum.reduceat(v, starts)
-        sig[uniq, i] = mins
+    for c0 in range(0, n_docs, MINHASH_CHUNK_DOCS):
+        chunk = texts[c0 : c0 + MINHASH_CHUNK_DOCS]
+        hashes, docix, _ = shingle_hashes_batch(chunk, width)
+        if len(hashes) == 0:
+            continue
+        # shingle_hashes_batch returns doc-sorted rows
+        uniq, starts = np.unique(docix, return_index=True)
+        for i in range(n_perms):
+            v = _splitmix64_np(hashes ^ seeds[i])
+            sig[uniq + c0, i] = np.minimum.reduceat(v, starts)
     return sig
 
 
