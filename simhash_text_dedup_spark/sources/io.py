@@ -1,0 +1,54 @@
+"""Partitioned / bucketed output writers.
+
+The reference ships results to downstream consumers with hand-rolled
+partition alignment: HFiles split exactly on HBase region boundaries
+(spider/hbase/mapreduce/ParseResultImporter.java:231-290) and send-files
+fanned out 1024 ways by the low bits of the docid
+(SelectAndSendJob.java:1006-1018, getDocidMod).  The Spark-native
+equivalents below let a consumer read any id range without scanning
+everything (partition pruning on the bucket column).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def write_bucketed_by_id(
+    df: DataFrame,
+    path: str,
+    id_col: str = "doc_id",
+    n_buckets: int = 1024,
+    mode: str = "overwrite",
+) -> None:
+    """Write partitioned by pmod(id, n_buckets) — the reference's
+    1024-way docid fan-out (S10). Readers filtering on the bucket column
+    get partition pruning for free."""
+    (
+        df.withColumn("bucket", F.pmod(F.col(id_col), F.lit(n_buckets)).cast("int"))
+        .repartition("bucket")
+        .write.mode(mode)
+        .partitionBy("bucket")
+        .parquet(path)
+    )
+
+
+def write_sorted_within_partitions(
+    df: DataFrame,
+    path: str,
+    partition_col: str,
+    sort_col: str,
+    n_partitions: int | None = None,
+    mode: str = "overwrite",
+) -> None:
+    """Range-partition on partition_col and sort rows within each file —
+    the Spark analog of the reference's region-boundary-aligned HFile
+    writes (S9: TotalOrderPartitioner over region start keys)."""
+    parts = n_partitions or df.sparkSession.sparkContext.defaultParallelism
+    (
+        df.repartitionByRange(parts, F.col(partition_col))
+        .sortWithinPartitions(sort_col)
+        .write.mode(mode)
+        .parquet(path)
+    )

@@ -1,0 +1,48 @@
+"""Partitioned output writers (reference S9/S10 analogs)."""
+
+import os
+
+from pyspark.sql import functions as F
+
+from simhash_text_dedup_spark.sources.io import (
+    write_bucketed_by_id,
+    write_sorted_within_partitions,
+)
+
+
+def test_bucketed_write_prunes(spark, tmp_path_factory):
+    out = str(tmp_path_factory.mktemp("bk") / "t")
+    df = spark.range(0, 5000).withColumn("doc_id", F.col("id") * 7919)
+    write_bucketed_by_id(df, out, n_buckets=16)
+    # directory layout has bucket= partitions
+    buckets = [d for d in os.listdir(out) if d.startswith("bucket=")]
+    assert len(buckets) == 16
+    back = spark.read.parquet(out)
+    assert back.count() == 5000
+    # filtering on bucket prunes partitions (plan shows PartitionFilters)
+    plan = back.filter(F.col("bucket") == 3)._jdf.queryExecution().executedPlan().toString()
+    assert "bucket" in plan
+    assert back.filter("bucket = 3").count() == df.filter(
+        F.pmod(F.col("doc_id"), F.lit(16)) == 3
+    ).count()
+
+
+def test_sorted_within_partitions(spark, tmp_path_factory):
+    out = str(tmp_path_factory.mktemp("srt") / "t")
+    df = spark.range(0, 2000).withColumn("doc_id", (F.col("id") * 48271) % 99991)
+    write_sorted_within_partitions(df, out, "doc_id", "doc_id", n_partitions=4)
+    import pyarrow.parquet as pq
+    import glob
+
+    files = glob.glob(f"{out}/*.parquet")
+    assert len(files) >= 3
+    ranges = []
+    for f in files:
+        col = pq.read_table(f, columns=["doc_id"]).column("doc_id").to_pylist()
+        assert col == sorted(col), "rows not sorted within file"
+        if col:
+            ranges.append((min(col), max(col)))
+    # files cover disjoint ranges (range partitioning)
+    ranges.sort()
+    for (a_lo, a_hi), (b_lo, b_hi) in zip(ranges, ranges[1:]):
+        assert a_hi <= b_lo
