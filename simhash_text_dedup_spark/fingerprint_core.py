@@ -143,9 +143,11 @@ def simhash_one(text: str, width: int = 3) -> int:
 CHUNK_DOCS = 64
 
 
-def _token_hashes_chunk(texts: Sequence[str]) -> tuple[np.ndarray, np.ndarray]:
-    """Flat (token_hashes uint64, token_doc int64) for <= CHUNK_DOCS texts."""
-    bufs = [t.encode("utf-8") for t in texts]
+def _token_hashes_chunk(texts: Sequence) -> tuple[np.ndarray, np.ndarray]:
+    """Flat (token_hashes uint64, token_doc int64) for <= CHUNK_DOCS texts.
+    Accepts str or pre-encoded utf-8 bytes per document (the Spark UDF
+    encodes JVM-side and ships binary, skipping a Python copy)."""
+    bufs = [t if isinstance(t, (bytes, bytearray)) else t.encode("utf-8") for t in texts]
     joined = b"\x00".join(bufs)
     if not joined:
         return np.empty(0, np.uint64), np.empty(0, np.int64)

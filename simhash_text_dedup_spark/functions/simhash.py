@@ -34,7 +34,11 @@ def simhash_udf(width: int = 3, chunk: int = 2048):
 
     @F.pandas_udf(T.LongType())
     def _simhash(content: pd.Series) -> pd.Series:
-        texts = content.fillna("").tolist()
+        # accepts string OR binary input (callers pass encode(content,
+        # 'UTF-8') so utf-8 bytes ship through Arrow and the kernel
+        # skips a per-doc Python encode copy)
+        texts = content.fillna(b"" if len(content) and isinstance(
+            content.iloc[0], (bytes, bytearray)) else "").tolist()
         outs = [
             simhash_batch(texts[i : i + chunk], width=width)
             for i in range(0, len(texts), chunk)
@@ -43,6 +47,12 @@ def simhash_udf(width: int = 3, chunk: int = 2048):
         return pd.Series(vals)
 
     return _simhash
+
+
+def simhash_col(content, width: int = 3) -> F.Column:
+    """SimHash column over a string content column: encodes to utf-8
+    JVM-side (binary through Arrow) and applies the vectorized UDF."""
+    return simhash_udf(width)(F.encode(content, "UTF-8"))
 
 
 def band_key(fp: Column, band: int, n_bands: int = 4, band_bits: int = 16) -> Column:

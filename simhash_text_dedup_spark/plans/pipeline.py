@@ -62,9 +62,11 @@ def prepare_documents(docs: DataFrame) -> DataFrame:
 
 def fingerprint_stage(prepared: DataFrame, cfg: DedupConfig) -> DataFrame:
     """doc_id, fingerprint, score, is_new, content_sha256."""
+    from simhash_text_dedup_spark.functions.simhash import simhash_col
+
     return prepared.select(
         "doc_id",
-        simhash_udf(cfg.shingle_width)(F.col("content")).alias("fingerprint"),
+        simhash_col(F.col("content"), cfg.shingle_width).alias("fingerprint"),
         "score",
         "is_new",
         "content_sha256",
