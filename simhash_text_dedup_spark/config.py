@@ -39,10 +39,15 @@ class DedupConfig:
     # min-label propagation. ~16 bytes/edge of driver memory.
     cc_driver_threshold: int = 2_000_000
 
-    # --- Band-bucket skew cap: buckets larger than this are salted into
-    # sub-buckets compared against a capped sample (scale guard; the
-    # spam pass removes the dominant source of hot buckets first).
+    # --- Band-bucket skew handling: buckets with more distinct
+    # fingerprints than the cap are processed through a salted
+    # repartition sub-join ('salt', no recall loss, quadratic work
+    # spread across salt_partitions^1 tasks) or excluded from that band
+    # ('drop', pairs still meet in their other bands). The spam pass
+    # removes the dominant source of hot buckets first.
     band_bucket_cap: int = 20000
+    hot_bucket_mode: str = "salt"   # 'salt' | 'drop'
+    salt_partitions: int = 16
 
     # --- MinHash / LSH borderline path (north_star extension).
     enable_minhash: bool = False

@@ -122,44 +122,75 @@ def hot_buckets(banded_df: DataFrame, cfg: DedupConfig) -> DataFrame:
     )
 
 
-def near_pairs(
-    distinct_fps: DataFrame, cfg: DedupConfig, skip_hot_buckets: bool = True
-) -> DataFrame:
-    """Verified near-duplicate pairs between distinct fingerprints:
-    (a_id, b_id, hamming, kind='near'), a_id < b_id, hamming in [1, k].
-    """
-    b = banded(distinct_fps, cfg)
-    if skip_hot_buckets:
-        hot = hot_buckets(b, cfg).select("band", "band_key")
-        b = b.join(F.broadcast(hot), ["band", "band_key"], "left_anti")
-
-    left = b.select(
-        F.col("band"),
-        F.col("band_key"),
-        F.col("doc_id").alias("a_id"),
-        F.col("fingerprint").alias("a_fp"),
-    )
-    right = b.select(
-        F.col("band"),
-        F.col("band_key"),
-        F.col("doc_id").alias("b_id"),
-        F.col("fingerprint").alias("b_fp"),
-    )
-    joined = left.join(right, ["band", "band_key"]).filter(F.col("a_id") < F.col("b_id"))
-
-    # emit each pair only in its first matching band: for this row's band
-    # i, every earlier band j < i must have differing keys on the two
-    # fingerprints (pure bit arithmetic — no dedup shuffle needed).
-    first_match = F.lit(True)
+def _first_match_predicate(cfg: DedupConfig) -> F.Column:
+    """Emit each pair only in its first matching band: for this row's
+    band i, every earlier band j < i must have differing keys on the two
+    fingerprints (pure bit arithmetic — no dedup shuffle needed)."""
+    pred = F.lit(True)
     for j in range(cfg.n_bands - 1):
         j_matches = band_key(F.col("a_fp"), j, cfg.n_bands, cfg.band_bits) == band_key(
             F.col("b_fp"), j, cfg.n_bands, cfg.band_bits
         )
-        first_match = first_match & ((F.col("band") <= F.lit(j)) | ~j_matches)
+        pred = pred & ((F.col("band") <= F.lit(j)) | ~j_matches)
+    return pred
 
+
+def _verify(joined: DataFrame, cfg: DedupConfig) -> DataFrame:
     return (
-        joined.withColumn("hamming", hamming_col(F.col("a_fp"), F.col("b_fp")))
+        joined.filter(F.col("a_id") < F.col("b_id"))
+        .withColumn("hamming", hamming_col(F.col("a_fp"), F.col("b_fp")))
         .filter((F.col("hamming") <= cfg.hamming_k) & (F.col("hamming") >= 1))
-        .filter(first_match)
+        .filter(_first_match_predicate(cfg))
         .select("a_id", "b_id", "hamming", F.lit("near").alias("kind"))
     )
+
+
+def _sides(b: DataFrame) -> tuple[DataFrame, DataFrame]:
+    left = b.select(
+        "band", "band_key",
+        F.col("doc_id").alias("a_id"),
+        F.col("fingerprint").alias("a_fp"),
+    )
+    right = b.select(
+        "band", "band_key",
+        F.col("doc_id").alias("b_id"),
+        F.col("fingerprint").alias("b_fp"),
+    )
+    return left, right
+
+
+def near_pairs(distinct_fps: DataFrame, cfg: DedupConfig) -> DataFrame:
+    """Verified near-duplicate pairs between distinct fingerprints:
+    (a_id, b_id, hamming, kind='near'), a_id < b_id, hamming in [1, k].
+
+    Hot band buckets (> cfg.band_bucket_cap distinct fingerprints) are
+    routed to a salted sub-join (north rule: "salted repartitioning for
+    skewed buckets"): the probe side carries a deterministic salt in the
+    join key, the build side is replicated once per salt value, so the
+    bucket's quadratic comparison spreads across salt_partitions tasks
+    instead of landing on one reducer. mode='drop' falls back to
+    excluding the hot band (pairs still meet in their other bands)."""
+    b = banded(distinct_fps, cfg)
+    hot = hot_buckets(b, cfg).select("band", "band_key")
+
+    cold = b.join(F.broadcast(hot), ["band", "band_key"], "left_anti")
+    left, right = _sides(cold)
+    pairs = _verify(left.join(right, ["band", "band_key"]), cfg)
+
+    if cfg.hot_bucket_mode == "salt":
+        hb = b.join(F.broadcast(hot), ["band", "band_key"], "left_semi")
+        s = cfg.salt_partitions
+        lh = _sides(hb)[0].withColumn(
+            "salt", F.pmod(F.xxhash64("a_id"), F.lit(s)).cast("int")
+        )
+        # replicate the build side once per salt value
+        rh = (
+            _sides(hb)[1]
+            .withColumn("salt", F.explode(F.array(*[F.lit(i) for i in range(s)])))
+        )
+        hot_pairs = _verify(
+            lh.join(rh, ["band", "band_key", "salt"]), cfg
+        )
+        pairs = pairs.unionByName(hot_pairs)
+
+    return pairs

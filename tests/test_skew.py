@@ -1,0 +1,85 @@
+"""Hot-band-bucket skew handling: salted sub-join keeps full recall;
+drop mode documents the recall trade."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from simhash_text_dedup_spark.config import DedupConfig
+from simhash_text_dedup_spark.operators.pairs import near_pairs
+
+
+def _fps(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, fingerprint long")
+
+
+@pytest.fixture(scope="module")
+def hot_bucket_fps(spark):
+    """60 distinct fingerprints sharing band 0 (top 16 bits) — a hot
+    bucket under cap=10. Pairs (2i, 2i+1) differ in exactly 3 bits
+    spread over bands 1..3, so band 0 is their ONLY shared band."""
+    import random
+
+    rng = random.Random(99)
+    base = 0x4A5B << 48
+    rows = []
+    for i in range(30):
+        # random 48-bit suffixes are ~24 bits apart pairwise — only the
+        # planted 3-bit flips form pairs
+        fp_a = base | rng.getrandbits(48)
+        fp_b = fp_a ^ (1 << 40) ^ (1 << 20) ^ (1 << 5)  # bands 1,2,3
+        rows.append((2 * i, _signed(fp_a)))
+        rows.append((2 * i + 1, _signed(fp_b)))
+    return _fps(spark, rows)
+
+
+def _signed(u):
+    return u - (1 << 64) if u >= (1 << 63) else u
+
+
+def test_salted_mode_keeps_hot_bucket_pairs(spark, hot_bucket_fps):
+    cfg = DedupConfig(band_bucket_cap=10, hot_bucket_mode="salt", salt_partitions=4)
+    got = {(r.a_id, r.b_id) for r in near_pairs(hot_bucket_fps, cfg).collect()}
+    want = {(2 * i, 2 * i + 1) for i in range(30)}
+    assert got == want
+
+
+def test_drop_mode_loses_only_hot_only_pairs(spark, hot_bucket_fps):
+    cfg = DedupConfig(band_bucket_cap=10, hot_bucket_mode="drop")
+    got = {(r.a_id, r.b_id) for r in near_pairs(hot_bucket_fps, cfg).collect()}
+    assert got == set()  # the only shared band was the hot one
+
+
+def test_no_double_count_when_pair_shares_hot_and_cold_bands(spark):
+    """A pair sharing a hot band AND a cold band must be emitted once."""
+    base = 0x4A5B << 48
+    rows = []
+    # the hot crowd: 40 singles sharing band 0 only
+    for i in range(40):
+        rows.append((100 + i, _signed(base | (i << 30) | (i << 10) | i)))
+    # the pair: shares band 0 (hot) and band 1; differs 2 bits in bands 2-3
+    fp_a = base | (0x1234 << 32) | (0x9 << 20) | 0x3
+    fp_b = fp_a ^ (1 << 25) ^ (1 << 7)
+    rows += [(1, _signed(fp_a)), (2, _signed(fp_b))]
+    fps = _fps(spark, rows)
+    cfg = DedupConfig(band_bucket_cap=10, hot_bucket_mode="salt", salt_partitions=4)
+    got = [(r.a_id, r.b_id) for r in near_pairs(fps, cfg).collect()]
+    assert got.count((1, 2)) == 1
+    assert set(got) >= {(1, 2)}
+
+
+def test_salt_matches_unsalted_on_normal_data(spark):
+    """With no hot buckets the salted path is inert: same pairs."""
+    import random
+
+    rng = random.Random(3)
+    rows = []
+    for i in range(200):
+        fp = rng.getrandbits(64)
+        rows.append((2 * i, _signed(fp)))
+        flip = fp ^ (1 << rng.randrange(64))
+        rows.append((2 * i + 1, _signed(flip)))
+    fps = _fps(spark, rows)
+    a = {(r.a_id, r.b_id) for r in near_pairs(fps, DedupConfig()).collect()}
+    b = {(r.a_id, r.b_id) for r in near_pairs(
+        fps, DedupConfig(hot_bucket_mode="drop")).collect()}
+    assert a == b and len(a) >= 190
