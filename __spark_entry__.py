@@ -209,7 +209,9 @@ def q_activity_bitmap(spark, sf):
     return (
         e.groupBy("user_id")
         .agg(
-            F.expr("bit_or(shiftleft(1, day(ts)))").alias("day_bitmap"),
+            # 64-bit shift: day(ts)=31 overflows a 32-bit literal (the
+            # oracle computes 1::BIGINT << day)
+            F.expr("bit_or(shiftleft(cast(1 as bigint), day(ts)))").alias("day_bitmap"),
             F.count(F.lit(1)).alias("n_events"),
         )
     )
@@ -365,6 +367,61 @@ def q_ngram_jaccard(spark, sf):
     )
 
 
+def _surrogate_fps(spark, sf):
+    """Surrogate fingerprint table for the HASH-VERIFIED dedup core:
+    a 60-bit fingerprint both engines compute identically (md5 hex
+    prefix), with planted Hamming-1 and Hamming-3 neighbors.  The real
+    SimHash is a pandas UDF DuckDB can't run; the band join / Hamming
+    verify / clustering semantics (incload/DeDupMapper.java:186-232)
+    are fingerprint-agnostic, so the oracle pins them end-to-end here
+    while the production fingerprint is pinned by reference_impl.py
+    parity tests."""
+    d = _docs(spark, sf).select("doc_id", "text")
+    fp = F.conv(F.substring(F.md5(F.col("text")), 1, 15), 16, 10).cast("long")
+    base = d.select("doc_id", fp.alias("fingerprint"))
+    m1 = base.filter(F.col("doc_id") % 10 == 0).select(
+        (F.col("doc_id") + 10000000).alias("doc_id"),
+        F.expr(
+            "fingerprint ^ shiftleft(cast(1 as bigint), cast(doc_id % 60 as int))"
+        ).alias("fingerprint"),
+    )
+    m3 = base.filter(F.col("doc_id") % 10 == 5).select(
+        (F.col("doc_id") + 20000000).alias("doc_id"),
+        F.expr(
+            "fingerprint"
+            " ^ shiftleft(cast(1 as bigint), cast(doc_id % 60 as int))"
+            " ^ shiftleft(cast(1 as bigint), cast((doc_id * 7 + 13) % 60 as int))"
+            " ^ shiftleft(cast(1 as bigint), cast((doc_id * 31 + 1) % 60 as int))"
+        ).alias("fingerprint"),
+    )
+    return base.unionByName(m1).unionByName(m3)
+
+
+def q_band_join_pairs(spark, sf):
+    # J2 hash-verified: the PRODUCTION band-explode + self-join +
+    # popcount(xor)<=3 verify (operators/pairs.near_pairs, incl. the
+    # first-matching-band dedup predicate and hot-bucket routing) over
+    # the surrogate fingerprints; oracle replays the same banding in SQL.
+    from simhash_text_dedup_spark.config import DedupConfig
+    from simhash_text_dedup_spark.operators.pairs import near_pairs
+
+    return near_pairs(_surrogate_fps(spark, sf), DedupConfig()).select(
+        "a_id", "b_id", F.col("hamming").cast("bigint").alias("hamming")
+    )
+
+
+def q_cc_clusters(spark, sf):
+    # J2/W2 hash-verified: min-label connected components over the
+    # verified pair set — production operator (driver union-find /
+    # label propagation) vs a DuckDB recursive-CTE reachability query.
+    from simhash_text_dedup_spark.config import DedupConfig
+    from simhash_text_dedup_spark.operators.cluster import connected_components
+    from simhash_text_dedup_spark.operators.pairs import near_pairs
+
+    pairs = near_pairs(_surrogate_fps(spark, sf), DedupConfig())
+    return connected_components(pairs.select("a_id", "b_id"))
+
+
 # --- dedup-specific (non-SQL-expressible: rows-only driver check) -----
 def q_simhash_fingerprints(spark, sf):
     from simhash_text_dedup_spark.config import DedupConfig
@@ -504,6 +561,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ngram_jaccard": q_ngram_jaccard,
         "sessionize": q_sessionize,
         "rollup_revenue": q_rollup_revenue,
+        "band_join_pairs": q_band_join_pairs,
+        "cc_clusters": q_cc_clusters,
         "simhash_fingerprints": q_simhash_fingerprints,
         "simhash_clusters": q_simhash_clusters,
         "doc_fingerprint_xxhash": q_doc_fingerprint_xxhash,
@@ -521,10 +580,66 @@ def _lang_id_sql() -> str:
     return f"SELECT doc_id, {detect_lang_sql('text')} AS lang_pred FROM documents"
 
 
+# DuckDB twin of _surrogate_fps + the band join / Hamming verify
+# (shared by band_join_pairs and cc_clusters)
+_SURROGATE_PAIRS_CTE = """
+  base AS (
+    SELECT doc_id, ('0x' || substring(md5(text), 1, 15))::BIGINT AS fp
+    FROM documents
+  ),
+  m1 AS (
+    SELECT doc_id + 10000000 AS doc_id,
+           xor(fp, 1::BIGINT << (doc_id % 60)) AS fp
+    FROM base WHERE doc_id % 10 = 0
+  ),
+  m3 AS (
+    SELECT doc_id + 20000000 AS doc_id,
+           xor(xor(xor(fp, 1::BIGINT << (doc_id % 60)),
+                   1::BIGINT << ((doc_id * 7 + 13) % 60)),
+               1::BIGINT << ((doc_id * 31 + 1) % 60)) AS fp
+    FROM base WHERE doc_id % 10 = 5
+  ),
+  fps AS (
+    SELECT * FROM base UNION ALL SELECT * FROM m1 UNION ALL SELECT * FROM m3
+  ),
+  banded AS (
+    SELECT doc_id, fp, b.band, (fp >> (48 - 16 * b.band)) & 65535 AS band_key
+    FROM fps, (VALUES (0), (1), (2), (3)) AS b(band)
+  ),
+  verified AS (
+    SELECT DISTINCT l.doc_id AS a_id, r.doc_id AS b_id,
+           bit_count(xor(l.fp, r.fp))::BIGINT AS hamming
+    FROM banded l JOIN banded r
+      ON l.band = r.band AND l.band_key = r.band_key
+    WHERE l.doc_id < r.doc_id
+      AND bit_count(xor(l.fp, r.fp)) BETWEEN 1 AND 3
+  )
+"""
+
+
 def oracle_sql() -> dict[str, str]:
     _LANG_ID_SQL = _lang_id_sql()
     stop_list = "['the','of','and','to','in','is','for','that','with','a']"
     return {
+        "band_join_pairs": f"""
+            WITH {_SURROGATE_PAIRS_CTE}
+            SELECT a_id, b_id, hamming FROM verified
+        """,
+        "cc_clusters": f"""
+            WITH RECURSIVE {_SURROGATE_PAIRS_CTE},
+            edges AS (
+              SELECT a_id AS a, b_id AS b FROM verified
+              UNION ALL SELECT b_id, a_id FROM verified
+            ),
+            verts AS (SELECT DISTINCT a AS id FROM edges),
+            reach(id, label) AS (
+              SELECT id, id FROM verts
+              UNION
+              SELECT e.a, r.label FROM edges e JOIN reach r ON e.b = r.id
+            )
+            SELECT id AS doc_id, min(label) AS cluster_id
+            FROM reach GROUP BY id
+        """,
         "scan_filter_project": """
             SELECT doc_id, source, n_chars FROM documents WHERE lang = 'en'
         """,

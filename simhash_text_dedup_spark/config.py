@@ -43,8 +43,9 @@ class DedupConfig:
     # fingerprints than the cap are processed through a salted
     # repartition sub-join ('salt', no recall loss, quadratic work
     # spread across salt_partitions^1 tasks) or excluded from that band
-    # ('drop', pairs still meet in their other bands). The spam pass
-    # removes the dominant source of hot buckets first.
+    # ('drop': lossy for pairs whose ONLY shared bands are hot; pairs
+    # that also share a cold band are still emitted there). The spam
+    # pass removes the dominant source of hot buckets first.
     band_bucket_cap: int = 20000
     hot_bucket_mode: str = "salt"   # 'salt' | 'drop'
     salt_partitions: int = 16

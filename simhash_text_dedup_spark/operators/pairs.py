@@ -19,9 +19,11 @@ Spark-first design:
     band (a whole-stage-codegen predicate over both fingerprints) — no
     post-join dropDuplicates shuffle.
   * residual hot band buckets (> cfg.band_bucket_cap distinct
-    fingerprints) are excluded from that band via a broadcast anti-join
-    and reported; pairs in them still meet in their other bands.  AQE
-    skew-join handles moderate imbalance.
+    fingerprints) are routed to a salted sub-join (default, lossless)
+    or excluded outright (mode='drop' — lossy ONLY for pairs whose
+    every shared band is hot; the first-COLD-match predicate keeps
+    pairs that also share a cold band).  AQE skew-join handles
+    moderate imbalance.
 """
 
 from __future__ import annotations
@@ -122,25 +124,41 @@ def hot_buckets(banded_df: DataFrame, cfg: DedupConfig) -> DataFrame:
     )
 
 
-def _first_match_predicate(cfg: DedupConfig) -> F.Column:
+def _first_match_predicate(
+    cfg: DedupConfig, hot_keys_by_band: dict[int, list[int]] | None = None
+) -> F.Column:
     """Emit each pair only in its first matching band: for this row's
     band i, every earlier band j < i must have differing keys on the two
-    fingerprints (pure bit arithmetic — no dedup shuffle needed)."""
+    fingerprints (pure bit arithmetic — no dedup shuffle needed).
+
+    In drop mode the hot buckets are excluded from the join entirely, so
+    an earlier band whose (band, key) bucket is hot must NOT suppress
+    the pair (it never met there): the predicate becomes "first COLD
+    matching band".  hot_keys_by_band[j] lists band j's hot keys."""
     pred = F.lit(True)
     for j in range(cfg.n_bands - 1):
         j_matches = band_key(F.col("a_fp"), j, cfg.n_bands, cfg.band_bits) == band_key(
             F.col("b_fp"), j, cfg.n_bands, cfg.band_bits
         )
+        if hot_keys_by_band and hot_keys_by_band.get(j):
+            j_hot = band_key(F.col("a_fp"), j, cfg.n_bands, cfg.band_bits).isin(
+                hot_keys_by_band[j]
+            )
+            j_matches = j_matches & ~j_hot
         pred = pred & ((F.col("band") <= F.lit(j)) | ~j_matches)
     return pred
 
 
-def _verify(joined: DataFrame, cfg: DedupConfig) -> DataFrame:
+def _verify(
+    joined: DataFrame,
+    cfg: DedupConfig,
+    hot_keys_by_band: dict[int, list[int]] | None = None,
+) -> DataFrame:
     return (
         joined.filter(F.col("a_id") < F.col("b_id"))
         .withColumn("hamming", hamming_col(F.col("a_fp"), F.col("b_fp")))
         .filter((F.col("hamming") <= cfg.hamming_k) & (F.col("hamming") >= 1))
-        .filter(_first_match_predicate(cfg))
+        .filter(_first_match_predicate(cfg, hot_keys_by_band))
         .select("a_id", "b_id", "hamming", F.lit("near").alias("kind"))
     )
 
@@ -168,13 +186,25 @@ def near_pairs(distinct_fps: DataFrame, cfg: DedupConfig) -> DataFrame:
     skewed buckets"): the probe side carries a deterministic salt in the
     join key, the build side is replicated once per salt value, so the
     bucket's quadratic comparison spreads across salt_partitions tasks
-    instead of landing on one reducer. mode='drop' falls back to
-    excluding the hot band (pairs still meet in their other bands)."""
+    instead of landing on one reducer. mode='drop' excludes hot bands
+    outright — LOSSY for pairs whose only shared bands are hot; pairs
+    that also share a cold band are kept (the first-match predicate
+    skips hot earlier bands, so the first COLD matching band emits)."""
     b = banded(distinct_fps, cfg)
     hot = hot_buckets(b, cfg).select("band", "band_key")
 
     cold = b.join(F.broadcast(hot), ["band", "band_key"], "left_anti")
     left, right = _sides(cold)
+
+    if cfg.hot_bucket_mode == "drop":
+        # the hot set is a histogram tail (tiny by construction); one
+        # bounded driver collect parameterizes the first-COLD-match
+        # predicate so hot earlier bands don't suppress cold emissions
+        hkb: dict[int, list[int]] = {}
+        for r in hot.collect():
+            hkb.setdefault(r["band"], []).append(r["band_key"])
+        return _verify(left.join(right, ["band", "band_key"]), cfg, hkb)
+
     pairs = _verify(left.join(right, ["band", "band_key"]), cfg)
 
     if cfg.hot_bucket_mode == "salt":

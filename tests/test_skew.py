@@ -49,6 +49,26 @@ def test_drop_mode_loses_only_hot_only_pairs(spark, hot_bucket_fps):
     assert got == set()  # the only shared band was the hot one
 
 
+def test_drop_mode_keeps_pairs_with_a_cold_band(spark):
+    """Regression (round-1 VERDICT): a pair whose FIRST matching band is
+    hot but which also shares a COLD band must survive drop mode — the
+    first-match predicate must skip hot earlier bands."""
+    base = 0x4A5B << 48
+    rows = []
+    # the hot crowd: 40 singles sharing band 0 only
+    for i in range(40):
+        rows.append((100 + i, _signed(base | (i << 30) | (i << 10) | i)))
+    # the pair: shares band 0 (hot, FIRST match) and band 1 (cold);
+    # differs 2 bits in bands 2-3
+    fp_a = base | (0x1234 << 32) | (0x9 << 20) | 0x3
+    fp_b = fp_a ^ (1 << 25) ^ (1 << 7)
+    rows += [(1, _signed(fp_a)), (2, _signed(fp_b))]
+    fps = _fps(spark, rows)
+    cfg = DedupConfig(band_bucket_cap=10, hot_bucket_mode="drop")
+    got = [(r.a_id, r.b_id) for r in near_pairs(fps, cfg).collect()]
+    assert got.count((1, 2)) == 1  # found exactly once, via the cold band
+
+
 def test_no_double_count_when_pair_shares_hot_and_cold_bands(spark):
     """A pair sharing a hot band AND a cold band must be emitted once."""
     base = 0x4A5B << 48
