@@ -98,6 +98,24 @@ def q_top_k_by_score(spark, sf):
     )
 
 
+def q_top_k_quota(spark, sf):
+    # T1 old/new quota top-k (TotalValueSort.java:279-316): k=120 split
+    # 25% old / 75% new; each side ranks independently, shortfall spills
+    from simhash_text_dedup_spark.operators.topk import quota_topk
+
+    d = _docs(spark, sf).withColumn("is_old", F.col("doc_id") % 3 == 0)
+    out = quota_topk(
+        d, k=120, old_ratio=0.25,
+        order_by=[F.col("n_chars").desc(), F.col("doc_id").asc()],
+    )
+    return out.select(
+        "doc_id",
+        F.when(F.col("is_old"), F.lit("old")).otherwise(F.lit("new")).alias("grp"),
+        "n_chars",
+        F.col("rank").cast("bigint").alias("rank"),
+    )
+
+
 def q_top_k_per_group(spark, sf):
     # W2-analog: winner-per-group by score (rank window)
     w = Window.partitionBy("lang").orderBy(F.col("n_chars").desc(), F.col("doc_id").asc())
@@ -544,6 +562,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "exact_dup_groups": q_exact_dup_groups,
         "spam_kill_list": q_spam_kill_list,
         "top_k_by_score": q_top_k_by_score,
+        "top_k_quota": q_top_k_quota,
         "top_k_per_group": q_top_k_per_group,
         "word_count": q_word_count,
         "lang_stats": q_lang_stats,
@@ -671,6 +690,27 @@ def oracle_sql() -> dict[str, str]:
         "top_k_by_score": """
             SELECT doc_id, n_chars FROM documents
             ORDER BY n_chars DESC, doc_id ASC LIMIT 100
+        """,
+        "top_k_quota": """
+            WITH d AS (
+              SELECT doc_id, n_chars, (doc_id % 3 = 0) AS is_old FROM documents
+            ), ranked AS (
+              SELECT doc_id, n_chars, is_old,
+                     row_number() OVER (PARTITION BY is_old
+                                        ORDER BY n_chars DESC, doc_id ASC) AS rank
+              FROM d
+            ), c AS (
+              SELECT sum(CASE WHEN is_old THEN 1 ELSE 0 END) AS n_old,
+                     sum(CASE WHEN is_old THEN 0 ELSE 1 END) AS n_new
+              FROM d
+            )
+            SELECT doc_id,
+                   CASE WHEN is_old THEN 'old' ELSE 'new' END AS grp,
+                   n_chars, rank
+            FROM ranked, c
+            WHERE rank <= CASE WHEN is_old
+                               THEN 30 + greatest(0, 90 - n_new)
+                               ELSE 90 + greatest(0, 30 - n_old) END
         """,
         "top_k_per_group": """
             SELECT lang, doc_id, n_chars, rn FROM (

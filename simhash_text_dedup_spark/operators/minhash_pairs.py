@@ -99,13 +99,15 @@ def containment_check(
 
     def _check(it):
         for pdf in it:
-            short = pdf.apply(
-                lambda r: (r.a_content in r.b_content)
-                or (r.b_content in r.a_content),
-                axis=1,
-            ) if len(pdf) else pd.Series([], dtype=bool)
+            a_vals = pdf["a_content"].to_numpy()
+            b_vals = pdf["b_content"].to_numpy()
+            # C-speed substring scan per pair over two ndarrays — no
+            # pandas row objects in the loop (round-1 VERDICT item 9)
+            contained = [
+                (a in b) or (b in a) for a, b in zip(a_vals, b_vals)
+            ]
             out = pdf[["a_id", "b_id"]].copy()
-            out["contained"] = short.values if len(pdf) else []
+            out["contained"] = pd.Series(contained, index=pdf.index, dtype=bool)
             yield out[out["contained"]]
 
     return joined.mapInPandas(_check, schema=_CONTAIN_SCHEMA)

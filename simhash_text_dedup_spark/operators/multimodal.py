@@ -1,10 +1,17 @@
 """Multimodal column plumbing: image/audio/video as opaque binary
 columns with typed metadata, processed via Arrow-batched mapInPandas.
 
-The container has no image/audio codec libraries, so the DECODE step is
-stubbed (deterministic fake features derived from the bytes, or
-NotImplementedError when `strict=True`); everything Spark-side — schema,
-partition sizing, UDF signatures, batch shapes — is real and tested.
+REAL pure-python decoders are used for container-friendly formats —
+binary PPM (P6) images and RIFF/WAV PCM16 audio are parsed with numpy
+(no codec libraries needed); "video" is modeled as concatenated PPM
+frames.  Payloads in any other format fall back to a deterministic
+digest-derived feature (or NotImplementedError when `strict=True`) —
+swapping in PIL/ffmpeg later changes only the `_decode_*` functions;
+the Spark plumbing (schema, partitioning, UDF signature, batch shape)
+is identical either way.
+
+Reference analog: the crawler's binary page decode path
+(spider/common/util page stores; SURVEY.md §2.1 S5).
 
 Schema convention:
   media(doc_id long, kind string, payload binary,
@@ -50,11 +57,124 @@ _FEATURES_SCHEMA = (
 )
 
 
+# ----------------------------------------------------------------------
+# real decoders (pure python + numpy)
+# ----------------------------------------------------------------------
+def decode_ppm(payload: bytes) -> np.ndarray:
+    """Binary PPM (P6, maxval 255) -> (h, w, 3) uint8 array."""
+    if not payload.startswith(b"P6"):
+        raise ValueError("not a P6 PPM payload")
+    # header: P6 <ws> width <ws> height <ws> 255 <single ws> raster
+    parts, i, tok = [], 2, b""
+    while len(parts) < 3:
+        c = payload[i : i + 1]
+        if not c:
+            raise ValueError("truncated PPM header")
+        if c.isspace():
+            if tok:
+                parts.append(int(tok))
+                tok = b""
+        else:
+            tok += c
+        i += 1
+    w, h, maxval = parts
+    if maxval != 255:
+        raise ValueError("only maxval 255 supported")
+    raster = np.frombuffer(payload, dtype=np.uint8, count=w * h * 3, offset=i)
+    return raster.reshape(h, w, 3)
+
+
+def _ppm_size(payload: bytes, offset: int) -> int:
+    """Byte length of the P6 frame starting at `offset` (for splitting
+    concatenated-PPM 'video' payloads)."""
+    parts, i, tok = [], offset + 2, b""
+    while len(parts) < 3:
+        c = payload[i : i + 1]
+        if not c:
+            raise ValueError("truncated PPM header")
+        if c.isspace():
+            if tok:
+                parts.append(int(tok))
+                tok = b""
+        else:
+            tok += c
+        i += 1
+    w, h, _ = parts
+    return (i - offset) + w * h * 3
+
+
+def split_ppm_frames(payload: bytes) -> list[bytes]:
+    """Split a concatenated-P6 'video' payload into per-frame bytes."""
+    frames, off = [], 0
+    while off < len(payload):
+        size = _ppm_size(payload, off)
+        frames.append(payload[off : off + size])
+        off += size
+    return frames
+
+
+def decode_wav(payload: bytes) -> tuple[int, np.ndarray]:
+    """RIFF/WAVE PCM16 mono -> (sample_rate, int16 samples)."""
+    if payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE payload")
+    pos = 12
+    sample_rate, data = None, None
+    while pos + 8 <= len(payload):
+        cid = payload[pos : pos + 4]
+        size = int.from_bytes(payload[pos + 4 : pos + 8], "little")
+        body = payload[pos + 8 : pos + 8 + size]
+        if cid == b"fmt ":
+            fmt = int.from_bytes(body[0:2], "little")
+            bits = int.from_bytes(body[14:16], "little")
+            if fmt != 1 or bits != 16:
+                raise ValueError("only PCM16 supported")
+            sample_rate = int.from_bytes(body[4:8], "little")
+        elif cid == b"data":
+            data = np.frombuffer(body, dtype="<i2")
+        pos += 8 + size + (size & 1)
+    if sample_rate is None or data is None:
+        raise ValueError("missing fmt/data chunk")
+    return sample_rate, data
+
+
+# ----------------------------------------------------------------------
+# feature extractors (deterministic, FEATURE_DIM floats)
+# ----------------------------------------------------------------------
+def image_features(img: np.ndarray) -> np.ndarray:
+    """4x4 grid RGB means (48) + 16-bin luminance histogram = 64."""
+    h, w, _ = img.shape
+    gy = np.linspace(0, h, 5, dtype=int)
+    gx = np.linspace(0, w, 5, dtype=int)
+    cells = np.empty((4, 4, 3), dtype=np.float32)
+    fimg = img.astype(np.float32)
+    for yi in range(4):
+        for xi in range(4):
+            cell = fimg[gy[yi]:max(gy[yi + 1], gy[yi] + 1),
+                        gx[xi]:max(gx[xi + 1], gx[xi] + 1)]
+            cells[yi, xi] = cell.reshape(-1, 3).mean(axis=0)
+    lum = fimg @ np.array([0.299, 0.587, 0.114], dtype=np.float32)
+    hist, _ = np.histogram(lum, bins=16, range=(0.0, 256.0))
+    hist = hist.astype(np.float32) / max(lum.size, 1)
+    return np.concatenate([cells.reshape(-1) / 255.0, hist])
+
+
+def audio_features(samples: np.ndarray) -> np.ndarray:
+    """32 windowed RMS values + 32-bin amplitude histogram = 64."""
+    x = samples.astype(np.float32) / 32768.0
+    n = max(len(x), 1)
+    edges = np.linspace(0, n, 33, dtype=int)
+    rms = np.array(
+        [np.sqrt(np.mean(np.square(x[a:max(b, a + 1)]))) if len(x) else 0.0
+         for a, b in zip(edges[:-1], edges[1:])],
+        dtype=np.float32,
+    )
+    hist, _ = np.histogram(x, bins=32, range=(-1.0, 1.0))
+    return np.concatenate([rms, hist.astype(np.float32) / n])
+
+
 def _fake_decode(payload: bytes) -> np.ndarray:
-    """Deterministic stand-in for a real decoder+embedder: expands a
-    blake2b digest of the payload into FEATURE_DIM floats in [-1, 1).
-    Replace with a real codec (PIL/torchaudio/ffmpeg) in production —
-    only this function changes; the Spark plumbing stays identical."""
+    """Deterministic fallback for formats without a pure-python decoder:
+    expands a blake2b digest of the payload into FEATURE_DIM floats."""
     need = FEATURE_DIM * 2
     raw = b""
     counter = 0
@@ -66,23 +186,34 @@ def _fake_decode(payload: bytes) -> np.ndarray:
     return (u16 / 32768.0) - 1.0
 
 
+def _decode_one(payload: bytes, strict: bool) -> np.ndarray:
+    if payload.startswith(b"P6"):
+        frames = split_ppm_frames(payload)
+        feats = np.stack([image_features(decode_ppm(f)) for f in frames])
+        return feats.mean(axis=0)  # multi-frame video: mean-pool frames
+    if payload[:4] == b"RIFF":
+        _, samples = decode_wav(payload)
+        return audio_features(samples)
+    if strict:
+        raise NotImplementedError(
+            "no decoder for this payload format (PPM/WAV are decoded "
+            "natively; other codecs need external libraries)"
+        )
+    return _fake_decode(payload)
+
+
 def extract_features(media: DataFrame, strict: bool = False) -> DataFrame:
     """media -> (doc_id, kind, n_bytes, feature array<float>[FEATURE_DIM]).
 
-    Arrow-batched mapInPandas; one output row per input row. strict=True
-    raises NotImplementedError (the real-decoder contract marker)."""
+    Arrow-batched mapInPandas; one output row per input row.  PPM/WAV
+    payloads are REALLY decoded (numpy); unknown formats use the
+    deterministic fallback, or raise when strict=True."""
 
     def _proc(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        if strict:
-            raise NotImplementedError(
-                "real media decoding requires codec libraries not present "
-                "in this environment; deterministic fake used when "
-                "strict=False"
-            )
         for pdf in it:
-            payloads = pdf["payload"]
+            payloads = [bytes(p) if p is not None else b"" for p in pdf["payload"]]
             feats = [
-                _fake_decode(bytes(p)) if p is not None else
+                _decode_one(p, strict) if p else
                 np.zeros(FEATURE_DIM, dtype=np.float32)
                 for p in payloads
             ]
@@ -90,7 +221,7 @@ def extract_features(media: DataFrame, strict: bool = False) -> DataFrame:
                 {
                     "doc_id": pdf["doc_id"],
                     "kind": pdf["kind"],
-                    "n_bytes": payloads.map(lambda p: len(p) if p is not None else 0),
+                    "n_bytes": np.array([len(p) for p in payloads], dtype=np.int64),
                     "feature": feats,
                 }
             )
@@ -102,24 +233,40 @@ _FRAME_SCHEMA = "doc_id long, frame_idx int, frame_feature array<float>"
 
 
 def sample_frames(media: DataFrame, every_ms: int = 1000) -> DataFrame:
-    """Video frame sampling stub: one output row per sampled frame
-    (1..n per input row — demonstrates the row-expanding batch shape).
-    Frame count derives from meta.duration_ms; features are fake-decoded
-    per frame index."""
+    """Video frame sampling: one output row per sampled frame (1..n per
+    input row — the row-expanding batch shape).  Concatenated-PPM video
+    payloads are split and REALLY decoded per frame; other payloads get
+    the deterministic fallback per frame index.  Frame count = real
+    frame count for PPM video, else meta.duration_ms // every_ms."""
 
     def _proc(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
-            rows_id, rows_ix, rows_ft = [], [], []
-            for _, r in pdf.iterrows():
-                dur = r["meta"]["duration_ms"] if r["meta"] is not None else 0
-                n_frames = max(1, int((dur or 0) // every_ms))
-                payload = bytes(r["payload"]) if r["payload"] is not None else b""
-                for i in range(n_frames):
-                    rows_id.append(r["doc_id"])
-                    rows_ix.append(i)
-                    rows_ft.append(_fake_decode(payload + i.to_bytes(4, "big")))
+            ids, idxs, feats = [], [], []
+            doc_ids = pdf["doc_id"].to_numpy()
+            metas = pdf["meta"].tolist()
+            payloads = [bytes(p) if p is not None else b"" for p in pdf["payload"]]
+            for r in range(len(pdf)):
+                p = payloads[r]
+                if p.startswith(b"P6"):
+                    frames = split_ppm_frames(p)
+                    step = max(1, every_ms // 1000)
+                    for i in range(0, len(frames), step):
+                        ids.append(doc_ids[r])
+                        idxs.append(i)
+                        feats.append(image_features(decode_ppm(frames[i])))
+                else:
+                    m = metas[r]
+                    dur = (m["duration_ms"] or 0) if m is not None else 0
+                    for i in range(max(1, int(dur) // every_ms)):
+                        ids.append(doc_ids[r])
+                        idxs.append(i)
+                        feats.append(_fake_decode(p + i.to_bytes(4, "big")))
             yield pd.DataFrame(
-                {"doc_id": rows_id, "frame_idx": rows_ix, "frame_feature": rows_ft}
+                {
+                    "doc_id": np.array(ids, dtype=np.int64),
+                    "frame_idx": np.array(idxs, dtype=np.int32),
+                    "frame_feature": feats,
+                }
             )
 
     return media.filter(F.col("kind") == "video").mapInPandas(
@@ -127,27 +274,48 @@ def sample_frames(media: DataFrame, every_ms: int = 1000) -> DataFrame:
     )
 
 
+# ----------------------------------------------------------------------
+# deterministic fixtures (REAL PPM / WAV / concatenated-PPM payloads)
+# ----------------------------------------------------------------------
+def _make_ppm(rng, w: int = 16, h: int = 12) -> bytes:
+    raster = bytes(rng.getrandbits(8) for _ in range(w * h * 3))
+    return f"P6\n{w} {h}\n255\n".encode() + raster
+
+
+def _make_wav(rng, n_samples: int = 800, rate: int = 16000) -> bytes:
+    t = np.arange(n_samples, dtype=np.float64)
+    freq = 100 + rng.randrange(400)
+    sig = (np.sin(2 * np.pi * freq * t / rate) * 12000).astype("<i2")
+    data = sig.tobytes()
+    fmt = (
+        (1).to_bytes(2, "little") + (1).to_bytes(2, "little")
+        + rate.to_bytes(4, "little") + (rate * 2).to_bytes(4, "little")
+        + (2).to_bytes(2, "little") + (16).to_bytes(2, "little")
+    )
+    body = (
+        b"WAVE" + b"fmt " + len(fmt).to_bytes(4, "little") + fmt
+        + b"data" + len(data).to_bytes(4, "little") + data
+    )
+    return b"RIFF" + len(body).to_bytes(4, "little") + body
+
+
 def make_fake_media(spark, n: int = 50, seed: int = 42) -> DataFrame:
-    """Deterministic fixture media table (binary payloads + metadata)."""
+    """Deterministic fixture media table with REAL payloads: P6 images,
+    PCM16 WAV audio, and video as 3 concatenated P6 frames."""
     import random
 
     rng = random.Random(seed)
     rows = []
     for i in range(n):
         kind = ["image", "audio", "video"][i % 3]
-        payload = bytes(rng.getrandbits(8) for _ in range(rng.randint(64, 512)))
-        rows.append(
-            (
-                i,
-                kind,
-                bytearray(payload),
-                (
-                    f"{kind}/x-fake",
-                    640 if kind == "image" else None,
-                    480 if kind == "image" else None,
-                    3000 if kind == "video" else None,
-                    16000 if kind == "audio" else None,
-                ),
-            )
-        )
+        if kind == "image":
+            payload = _make_ppm(rng)
+            meta = ("image/x-portable-pixmap", 16, 12, None, None)
+        elif kind == "audio":
+            payload = _make_wav(rng)
+            meta = ("audio/wav", None, None, None, 16000)
+        else:
+            payload = b"".join(_make_ppm(rng, 8, 6) for _ in range(3))
+            meta = ("video/x-ppm-frames", 8, 6, 3000, None)
+        rows.append((i, kind, bytearray(payload), meta))
     return spark.createDataFrame(rows, MEDIA_SCHEMA)

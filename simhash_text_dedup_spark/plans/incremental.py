@@ -7,16 +7,29 @@ involve at least one NEW document; old x old is never compared
 (incload/DeDupMapper.java:70-81,97-248, SURVEY.md §3.1).
 
 Semantics reproduced here:
-  * pair domain   = (new x new, emitted once) ∪ (old x new)
-                    — direction rule E5, DeDupMapper.java:220-226
+  * pair domain   = (new x new, emitted once) ∪ (new x live-old)
+                    — direction rule E5, DeDupMapper.java:220-226.
+                    Every entity participates ONCE, with its CURRENT
+                    fingerprint: the mapper overwrites a re-crawled
+                    row's finger with newfinger (DeDupMapper.java:
+                    147-158 `finger = newfinger`), so the stale base
+                    rows of re-crawled entities are anti-joined out of
+                    the old side — a new version never pairs with its
+                    own previous row.
   * unchanged     : a new version whose fingerprint equals the entity's
                     already-loaded fingerprint -> "unload" list (do not
-                    re-index), DeDupMapper.java:147-153
+                    re-index), DeDupMapper.java:147-153 same_finger; it
+                    STILL probes for duplicates (the reference writes
+                    the row to both streams).
   * spam kill     : within the new batch, DeDupMapper setup path /
                     SpamPageGenerate
-  * selection     : per verified pair, loser = lower score; loser NEW ->
-                    delete list, loser OLD/loaded -> modify list
-                    (SelectLogicReducer.java:74-103)
+  * selection     : cfg.selection='cc' (default): per verified pair,
+                    loser = lower score; loser's entity NOT loaded ->
+                    delete list, loaded -> modify list (the reference's
+                    lf flag drives the split, not batch membership).
+                    cfg.selection='greedy': reference-exact greedy scan
+                    over the round's pairs, parallel per component
+                    (SelectLogicReducer.java:56-104)
 
 Scale shape: the probe side is the full corpus fingerprint table (read
 from the previous round's checkpoint — parquet/Iceberg snapshot); only
@@ -53,10 +66,12 @@ class IncrementalResult:
     new_fingerprints: DataFrame  # doc_id, fingerprint, score, is_new, ...
     unload: DataFrame            # doc_id, entity_id — unchanged re-crawls
     spam_kills: DataFrame        # doc_id, ref_doc_id
-    pairs: DataFrame             # a_id, b_id, hamming, a_is_new, b_is_new
-    delete_list: DataFrame       # doc_id (new losers)
+    pairs: DataFrame             # a_id, b_id, hamming, a/b_is_new,
+    #                              a/b_loaded, a/b_score
+    delete_list: DataFrame       # doc_id (losers whose entity isn't loaded)
     modify_list: DataFrame       # doc_id (already-loaded losers)
     clusters: DataFrame          # doc_id, cluster_id (touched subgraph)
+    metrics: dict | None = None  # observed_metrics callable (A7 counters)
 
 
 def _banded(fps: DataFrame, cfg: DedupConfig) -> DataFrame:
@@ -64,9 +79,12 @@ def _banded(fps: DataFrame, cfg: DedupConfig) -> DataFrame:
         "doc_id",
         "fingerprint",
         "is_new",
+        "is_loaded",
         "score",
         F.explode(band_entries(F.col("fingerprint"), cfg.n_bands, cfg.band_bits)).alias("e"),
-    ).select("doc_id", "fingerprint", "is_new", "score", "e.band", "e.band_key")
+    ).select(
+        "doc_id", "fingerprint", "is_new", "is_loaded", "score", "e.band", "e.band_key"
+    )
 
 
 def run_incremental(
@@ -124,26 +142,52 @@ def run_incremental(
         "unload",
     )
 
-    # --- spam kill within the new batch
+    # --- spam kill within the new batch (unchanged re-crawls still
+    # probe — the reference writes same_finger rows to BOTH the unload
+    # marker and the dedup stream, DeDupMapper.java:147-166)
     survivors, kills = spam_pass(new_fps, cfg.spam_threshold)
     kills = ck.through(kills, "spam_kills")
-    new_side = survivors.select(
-        "doc_id", "fingerprint", F.lit(True).alias("is_new"), "score"
+
+    # is_loaded = the entity already exists in the index (reference lf
+    # flag); drives the delete-vs-modify split for losers
+    loaded = base_fps.select("entity_id").distinct().withColumn(
+        "is_loaded", F.lit(True)
+    )
+    new_side = (
+        survivors.join(loaded, "entity_id", "left")
+        .select(
+            "doc_id", "fingerprint", F.lit(True).alias("is_new"),
+            F.coalesce("is_loaded", F.lit(False)).alias("is_loaded"),
+            "score",
+        )
     )
 
-    # --- band join: new (left) vs new ∪ old (right); old x old excluded
+    # every entity participates ONCE, with its CURRENT fingerprint:
+    # drop re-crawled entities' stale base rows (the reference mapper
+    # overwrites finger with newfinger, DeDupMapper.java:156-158), so a
+    # new version never pairs with its own previous row
+    base_live = base_fps.join(
+        new_fps.select("entity_id").distinct(), "entity_id", "left_anti"
+    )
+
+    # --- band join: new (left) vs new ∪ live-old (right); old x old excluded
     all_side = new_side.unionByName(
-        base_fps.select("doc_id", "fingerprint", "is_new", "score")
+        base_live.select(
+            "doc_id", "fingerprint", "is_new",
+            F.lit(True).alias("is_loaded"), "score",
+        )
     )
     left = _banded(new_side, cfg).select(
         "band", "band_key",
         F.col("doc_id").alias("a_id"), F.col("fingerprint").alias("a_fp"),
-        F.col("is_new").alias("a_is_new"), F.col("score").alias("a_score"),
+        F.col("is_new").alias("a_is_new"), F.col("is_loaded").alias("a_loaded"),
+        F.col("score").alias("a_score"),
     )
     right = _banded(all_side, cfg).select(
         "band", "band_key",
         F.col("doc_id").alias("b_id"), F.col("fingerprint").alias("b_fp"),
-        F.col("is_new").alias("b_is_new"), F.col("score").alias("b_score"),
+        F.col("is_new").alias("b_is_new"), F.col("is_loaded").alias("b_loaded"),
+        F.col("score").alias("b_score"),
     )
     joined = left.join(right, ["band", "band_key"]).filter(
         # new x new once (a<b); new x old always kept (direction E5)
@@ -162,36 +206,68 @@ def run_incremental(
         .filter(first_match)
         .select(
             "a_id", "b_id", "hamming",
-            "a_is_new", "b_is_new", "a_score", "b_score",
+            "a_is_new", "b_is_new", "a_loaded", "b_loaded",
+            "a_score", "b_score",
         ),
         "pairs",
-    )
-
-    # --- per-pair loser -> delete (new) / modify (loaded)
-    # (SelectLogicMapper.java:39-44 orientation + SelectLogicReducer split)
-    loser_id = F.when(
-        (F.col("a_score") > F.col("b_score"))
-        | ((F.col("a_score") == F.col("b_score")) & (F.col("a_id") < F.col("b_id"))),
-        F.struct(F.col("b_id").alias("doc_id"), F.col("b_is_new").alias("is_new")),
-    ).otherwise(
-        F.struct(F.col("a_id").alias("doc_id"), F.col("a_is_new").alias("is_new"))
-    )
-    losers = pairs.select(loser_id.alias("l")).select("l.doc_id", "l.is_new")
-    # a doc can lose in several pairs; also never delete a doc that wins
-    # elsewhere against a lower-scored loser? Reference greedy handles
-    # that globally; here we use the parallel cc-style rule: any doc that
-    # loses at least one pair is a loser (documented delta, cfg.selection
-    # = 'greedy' for reference-exact behavior via run_dedup).
-    delete_list = ck.through(
-        losers.filter(F.col("is_new")).select("doc_id").distinct(), "delete_list"
-    )
-    modify_list = ck.through(
-        losers.filter(~F.col("is_new")).select("doc_id").distinct(), "modify_list"
     )
 
     cc = connected_components(
         pairs.select("a_id", "b_id"), cfg.cc_max_iter, cfg.cc_driver_threshold
     )
+
+    if cfg.selection == "greedy":
+        # reference-exact greedy over the round's pair set
+        # (SelectLogicReducer.java:56-104), parallel across components
+        from simhash_text_dedup_spark.operators.selection import (
+            assign_actions_greedy,
+        )
+
+        # assign_actions_greedy's is_new flag drives delete-vs-modify:
+        # the reference splits on the LOADED flag, so is_new := NOT loaded
+        a_meta = pairs.select(
+            F.col("a_id").alias("doc_id"),
+            F.col("a_score").alias("score"),
+            (~F.col("a_loaded")).alias("is_new"),
+        )
+        b_meta = pairs.select(
+            F.col("b_id").alias("doc_id"),
+            F.col("b_score").alias("score"),
+            (~F.col("b_loaded")).alias("is_new"),
+        )
+        meta = a_meta.unionByName(b_meta).dropDuplicates(["doc_id"])
+        actions = assign_actions_greedy(
+            meta.join(cc, "doc_id"), pairs.select("a_id", "b_id")
+        )
+        delete_list = ck.through(
+            actions.filter(F.col("action") == "delete").select("doc_id"),
+            "delete_list",
+        )
+        modify_list = ck.through(
+            actions.filter(F.col("action") == "modify").select("doc_id"),
+            "modify_list",
+        )
+    else:
+        # --- 'cc' mode: per-pair loser -> delete (not loaded) / modify
+        # (loaded) (SelectLogicMapper.java:39-44 orientation +
+        # SelectLogicReducer split on the lf flag). Parallel rule: any
+        # doc that loses at least one pair is a loser — matches greedy
+        # on cliques, differs on chains (documented delta;
+        # cfg.selection='greedy' is reference-exact).
+        loser_id = F.when(
+            (F.col("a_score") > F.col("b_score"))
+            | ((F.col("a_score") == F.col("b_score")) & (F.col("a_id") < F.col("b_id"))),
+            F.struct(F.col("b_id").alias("doc_id"), F.col("b_loaded").alias("loaded")),
+        ).otherwise(
+            F.struct(F.col("a_id").alias("doc_id"), F.col("a_loaded").alias("loaded"))
+        )
+        losers = pairs.select(loser_id.alias("l")).select("l.doc_id", "l.loaded")
+        delete_list = ck.through(
+            losers.filter(~F.col("loaded")).select("doc_id").distinct(), "delete_list"
+        )
+        modify_list = ck.through(
+            losers.filter(F.col("loaded")).select("doc_id").distinct(), "modify_list"
+        )
 
     return IncrementalResult(
         new_fingerprints=new_fps,
@@ -201,4 +277,5 @@ def run_incremental(
         delete_list=delete_list,
         modify_list=modify_list,
         clusters=cc,
+        metrics={"observed_metrics": ck.observed_metrics},
     )

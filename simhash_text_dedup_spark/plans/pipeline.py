@@ -93,6 +93,13 @@ class Checkpointer:
     With `lineage=True` each checkpointed stage records wall seconds,
     row count, partition count, and the per-partition row histogram
     (min/max/mean + full list) into `<root>/_lineage.json`.
+
+    Independently of checkpointing, every stage gets a named
+    `observe()` metric (rows per stage) — the analog of the reference's
+    per-run Hadoop counters (incload/DeDupMapper.java:66-68), collected
+    for FREE as a side effect of whatever action materializes the stage
+    (no extra job, unlike lineage's collect).  Read them via
+    `observed_metrics()` AFTER the stage has been materialized.
     """
 
     def __init__(
@@ -105,19 +112,50 @@ class Checkpointer:
         self.spark, self.root, self.resume = spark, root, resume
         self.lineage = lineage and root is not None
         self.stages: list[dict] = []
+        from pyspark.sql import Observation
+
+        self._obs_cls = Observation
+        self.observations: dict = {}
+
+    def _observe(self, df: DataFrame, stage: str) -> DataFrame:
+        obs = self._obs_cls(stage)
+        self.observations[stage] = obs
+        return df.observe(obs, F.count(F.lit(1)).alias("rows"))
+
+    def observed_metrics(self) -> dict[str, dict]:
+        """{stage: {'rows': n}} for every stage whose plan has been
+        evaluated by an action. Call after materializing (e.g.
+        `res.clusters.count()`); un-evaluated stages are omitted rather
+        than blocking."""
+        out = {}
+        for stage, obs in self.observations.items():
+            # Observation.get blocks until an action fills it; probe the
+            # underlying future non-blockingly via the JVM handle
+            try:
+                jo = obs._jo  # py4j Observation; None until registered
+                if jo is not None and jo.getOrEmpty().isEmpty():
+                    continue
+            except Exception:
+                pass
+            out[stage] = dict(obs.get)
+        return out
 
     def through(self, df: DataFrame, stage: str) -> DataFrame:
         if not self.root:
             # no durable checkpointing requested: still cut lineage and
             # materialize once (the CC loop and multiple sinks would
             # otherwise recompute the pandas-UDF fingerprint stage per
-            # action)
-            return df.localCheckpoint(eager=False)
+            # action). Observe ON TOP of the checkpoint cut — a
+            # CollectMetrics node below localCheckpoint is buried in the
+            # RDD lineage and never reports to the Observation.
+            return self._observe(df.localCheckpoint(eager=False), stage)
         import time
 
         path = os.path.join(self.root, stage)
         marker = os.path.join(path, "_SUCCESS")
         resumed = self.resume and os.path.exists(marker)
+        if not resumed:
+            df = self._observe(df, stage)
         t0 = time.time()
         if not resumed:
             df.write.mode("overwrite").parquet(path)
@@ -268,6 +306,10 @@ def run_dedup(
     clusters = ck.through(clusters, "clusters")
     ck.flush_lineage()
     metrics["stages"] = ck.stages
+    # free per-run counters (A7): call AFTER materializing the stages
+    # you care about, e.g. res.clusters.count(); unevaluated stages are
+    # omitted, never blocked on
+    metrics["observed_metrics"] = ck.observed_metrics
 
     return DedupResult(
         fingerprints=fps,

@@ -49,6 +49,19 @@ EVENTS_SCHEMA = T.StructType(
 )
 
 
+def write_fingerprint_batch(
+    batch_df: DataFrame,
+    batch_id: int,
+    output_dir: str,
+    cfg: DedupConfig = DedupConfig(),
+) -> None:
+    """Idempotent micro-batch sink: fingerprint the batch and OVERWRITE
+    its own `batch_id=<id>` partition directory — a replay after a
+    partial write replaces, never duplicates."""
+    fps = fingerprint_stage(prepare_documents(batch_df), cfg)
+    fps.write.mode("overwrite").parquet(f"{output_dir}/batch_id={batch_id}")
+
+
 def stream_fingerprint_ingest(
     spark: SparkSession,
     input_dir: str,
@@ -57,9 +70,15 @@ def stream_fingerprint_ingest(
     cfg: DedupConfig = DedupConfig(),
     available_now: bool = True,
 ):
-    """Watch input_dir for new documents parquet files; append
+    """Watch input_dir for new documents parquet files; write
     (doc_id, fingerprint, score, is_new, content_sha256, batch_id) to
-    output_dir.  Returns the StreamingQuery (caller awaits/stops)."""
+    output_dir.  Returns the StreamingQuery (caller awaits/stops).
+
+    Effectively-once sink: each micro-batch OVERWRITES its own
+    `batch_id=<id>` partition directory, so a batch replayed after a
+    mid-write failure replaces its partial output instead of appending
+    duplicates (plain mode('append') would be at-least-once —
+    round-1 ADVICE).  Readers see batch_id as a partition column."""
     stream = (
         spark.readStream.schema(DOCUMENTS_SCHEMA)
         .option("maxFilesPerTrigger", "16")
@@ -67,10 +86,7 @@ def stream_fingerprint_ingest(
     )
 
     def _process(batch_df: DataFrame, batch_id: int) -> None:
-        fps = fingerprint_stage(prepare_documents(batch_df), cfg).withColumn(
-            "batch_id", F.lit(batch_id)
-        )
-        fps.write.mode("append").parquet(output_dir)
+        write_fingerprint_batch(batch_df, batch_id, output_dir, cfg)
 
     writer = (
         stream.writeStream.foreachBatch(_process)

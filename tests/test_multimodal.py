@@ -1,13 +1,50 @@
-"""Multimodal binary-column plumbing (decode stubbed, Spark side real)."""
+"""Multimodal binary columns: REAL pure-python PPM/WAV decoders +
+Arrow-batched plumbing (S5 analog)."""
 
+import numpy as np
 import pytest
 
 from simhash_text_dedup_spark.operators.multimodal import (
     FEATURE_DIM,
+    decode_ppm,
+    decode_wav,
     extract_features,
     make_fake_media,
     sample_frames,
+    split_ppm_frames,
+    _make_ppm,
+    _make_wav,
 )
+
+
+def test_ppm_roundtrip():
+    import random
+
+    rng = random.Random(7)
+    payload = _make_ppm(rng, w=5, h=4)
+    img = decode_ppm(payload)
+    assert img.shape == (4, 5, 3)
+    assert img.tobytes() == payload[payload.index(b"255\n") + 4:]
+
+
+def test_wav_roundtrip():
+    import random
+
+    rng = random.Random(7)
+    payload = _make_wav(rng, n_samples=100, rate=8000)
+    rate, samples = decode_wav(payload)
+    assert rate == 8000
+    assert len(samples) == 100
+    assert samples.dtype == np.int16
+
+
+def test_split_ppm_frames():
+    import random
+
+    rng = random.Random(7)
+    frames = [_make_ppm(rng, 8, 6) for _ in range(3)]
+    out = split_ppm_frames(b"".join(frames))
+    assert out == frames
 
 
 def test_extract_features_shape_and_determinism(spark):
@@ -23,17 +60,38 @@ def test_extract_features_shape_and_determinism(spark):
     assert a == b
 
 
+def test_known_formats_decode_even_in_strict_mode(spark):
+    # PPM/WAV/concatenated-PPM video all have REAL decoders now
+    media = make_fake_media(spark, n=9, seed=1)
+    out = extract_features(media, strict=True).collect()
+    assert len(out) == 9
+
+
 def test_strict_mode_marks_missing_decoder(spark):
-    media = make_fake_media(spark, n=3, seed=1)
+    from simhash_text_dedup_spark.operators.multimodal import MEDIA_SCHEMA
+
+    unknown = spark.createDataFrame(
+        [(1, "image", bytearray(b"\x89PNG\r\n unknown codec"),
+          ("image/png", 1, 1, None, None))],
+        MEDIA_SCHEMA,
+    )
     with pytest.raises(Exception) as ei:
-        extract_features(media, strict=True).collect()
-    assert "NotImplementedError" in str(ei.value) or "codec" in str(ei.value)
+        extract_features(unknown, strict=True).collect()
+    assert "NotImplementedError" in str(ei.value) or "decoder" in str(ei.value)
+    # non-strict: deterministic fallback, no raise
+    assert len(extract_features(unknown).collect()) == 1
 
 
 def test_frame_sampling_expands_rows(spark):
     media = make_fake_media(spark, n=30, seed=42)
     frames = sample_frames(media, every_ms=1000).collect()
     n_videos = media.filter("kind = 'video'").count()
-    # 3000ms duration / 1000ms -> 3 frames per video
+    # video fixtures carry 3 real PPM frames each
     assert len(frames) == n_videos * 3
     assert {r.frame_idx for r in frames} == {0, 1, 2}
+    # frame features are real image features of distinct frames
+    by_doc = {}
+    for r in frames:
+        by_doc.setdefault(r.doc_id, []).append(tuple(r.frame_feature))
+    for feats in by_doc.values():
+        assert len(set(feats)) == len(feats)

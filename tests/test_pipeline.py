@@ -125,3 +125,18 @@ def test_family_expectations(result, corpus):
     uniq = man[fam_kind == "F-UNIQ"].doc_id
     for i in uniq:
         assert cl[i] == i
+
+
+def test_observed_metrics_free_counters(result):
+    """A7 (reference Hadoop counters, DeDupMapper.java:66-68): per-stage
+    row counts are observed as a side effect of normal actions — no
+    checkpoint dir, no extra jobs."""
+    # materialize the branches we want counters for
+    n_clusters = result.clusters.count()
+    n_kills = result.spam_kills.count()
+    observed = result.metrics["observed_metrics"]()
+    assert observed["clusters"]["rows"] == n_clusters
+    assert observed["spam_kills"]["rows"] == n_kills
+    # upstream stages ran as part of the same DAG
+    assert observed["fingerprints"]["rows"] > 0
+    assert observed["pairs"]["rows"] > 0

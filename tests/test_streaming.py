@@ -91,3 +91,19 @@ def test_windowed_event_stats_matches_batch(spark, tmp_path_factory):
     g = {tuple(r) for r in got.collect()}
     b = {tuple(r) for r in batch.collect()}
     assert g == b and len(g) > 0
+
+
+def test_sink_idempotent_on_replay(spark, tmp_path):
+    """A micro-batch replayed after a failure must not duplicate rows:
+    the sink overwrites its batch_id partition (round-1 ADVICE)."""
+    from simhash_text_dedup_spark.sources.corpus import CorpusSpec, generate_corpus
+    from simhash_text_dedup_spark.streaming.ingest import write_fingerprint_batch
+
+    docs_pdf, _ = generate_corpus(CorpusSpec(n_docs=40, seed=5))
+    batch = spark.createDataFrame(docs_pdf)
+    out = str(tmp_path / "fps")
+    write_fingerprint_batch(batch, 7, out)
+    n1 = spark.read.parquet(out).count()
+    write_fingerprint_batch(batch, 7, out)  # replay of the same batch
+    n2 = spark.read.parquet(out).count()
+    assert n1 == n2 == 40
