@@ -385,6 +385,33 @@ def q_ngram_jaccard(spark, sf):
     )
 
 
+def q_snapshot_merge(spark, sf):
+    # S9/J1 analog, hash-verified: Iceberg-shaped snapshot table with
+    # MERGE INTO upsert semantics (sources/snapshots.py; real Iceberg
+    # would run `MERGE INTO ... WHEN MATCHED UPDATE * WHEN NOT MATCHED
+    # INSERT *`). Round-trips through parquet snapshots on disk.
+    import tempfile
+
+    from simhash_text_dedup_spark.sources.snapshots import SnapshotTable
+
+    d = _docs(spark, sf)
+    target = d.filter(F.col("doc_id") % 2 == 0).select(
+        F.col("doc_id").alias("entity_id"), F.col("n_chars").alias("val")
+    )
+    source = d.filter(F.col("doc_id") % 4 == 0).select(
+        F.col("doc_id").alias("entity_id"),
+        (F.col("n_chars") + 1000).alias("val"),
+    ).unionByName(
+        d.filter(F.col("doc_id") % 2 == 1).select(
+            F.col("doc_id").alias("entity_id"), F.col("n_chars").alias("val")
+        )
+    )
+    t = SnapshotTable(spark, tempfile.mkdtemp(prefix="snap_merge_"))
+    t.append(target)
+    t.merge(source, key_cols=["entity_id"])
+    return t.read()
+
+
 def _surrogate_fps(spark, sf):
     """Surrogate fingerprint table for the HASH-VERIFIED dedup core:
     a 60-bit fingerprint both engines compute identically (md5 hex
@@ -582,6 +609,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rollup_revenue": q_rollup_revenue,
         "band_join_pairs": q_band_join_pairs,
         "cc_clusters": q_cc_clusters,
+        "snapshot_merge": q_snapshot_merge,
         "simhash_fingerprints": q_simhash_fingerprints,
         "simhash_clusters": q_simhash_clusters,
         "doc_fingerprint_xxhash": q_doc_fingerprint_xxhash,
@@ -643,6 +671,22 @@ def oracle_sql() -> dict[str, str]:
         "band_join_pairs": f"""
             WITH {_SURROGATE_PAIRS_CTE}
             SELECT a_id, b_id, hamming FROM verified
+        """,
+        "snapshot_merge": """
+            WITH target AS (
+              SELECT doc_id AS entity_id, n_chars AS val
+              FROM documents WHERE doc_id % 2 = 0
+            ), source AS (
+              SELECT doc_id AS entity_id, n_chars + 1000 AS val
+              FROM documents WHERE doc_id % 4 = 0
+              UNION ALL
+              SELECT doc_id AS entity_id, n_chars AS val
+              FROM documents WHERE doc_id % 2 = 1
+            )
+            SELECT entity_id, val FROM target
+            WHERE entity_id NOT IN (SELECT entity_id FROM source)
+            UNION ALL
+            SELECT entity_id, val FROM source
         """,
         "cc_clusters": f"""
             WITH RECURSIVE {_SURROGATE_PAIRS_CTE},
