@@ -467,6 +467,45 @@ def q_cc_clusters(spark, sf):
     return connected_components(pairs.select("a_id", "b_id"))
 
 
+def q_render_formats(spark, sf):
+    # F5 hex/bin rendering + parse round-trip (the reference renders
+    # fingerprints/docids as hex text in its list files and HBase keys)
+    fps = _surrogate_fps(spark, sf)
+    return fps.select(
+        "doc_id",
+        F.hex(F.col("fingerprint")).alias("fp_hex"),
+        F.bin(F.col("fingerprint")).alias("fp_bin"),
+        F.conv(F.hex(F.col("fingerprint")), 16, 10).cast("long").alias("fp_roundtrip"),
+    )
+
+
+def q_greedy_actions(spark, sf):
+    # W2 hash-verified: the PRODUCTION reference-exact greedy selection
+    # (operators/selection.assign_actions_greedy — applyInPandas per
+    # component, SelectLogicReducer.java:56-104) over the surrogate pair
+    # set; the oracle replays the sequential greedy walk in a DuckDB
+    # list-accumulating recursive CTE. Scores are fp&0xFFFFF so both
+    # engines orient pairs identically.
+    from simhash_text_dedup_spark.config import DedupConfig
+    from simhash_text_dedup_spark.operators.cluster import connected_components
+    from simhash_text_dedup_spark.operators.pairs import near_pairs
+    from simhash_text_dedup_spark.operators.selection import assign_actions_greedy
+
+    fps = _surrogate_fps(spark, sf)
+    pairs = near_pairs(fps, DedupConfig()).select("a_id", "b_id")
+    cc = connected_components(pairs)
+    meta = (
+        fps.join(cc, "doc_id")
+        .select(
+            "doc_id",
+            "cluster_id",
+            F.col("fingerprint").bitwiseAND(F.lit(1048575)).cast("double").alias("score"),
+            F.lit(True).alias("is_new"),
+        )
+    )
+    return assign_actions_greedy(meta, pairs).select("doc_id", "action")
+
+
 # --- dedup-specific (non-SQL-expressible: rows-only driver check) -----
 def q_simhash_fingerprints(spark, sf):
     from simhash_text_dedup_spark.config import DedupConfig
@@ -609,6 +648,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rollup_revenue": q_rollup_revenue,
         "band_join_pairs": q_band_join_pairs,
         "cc_clusters": q_cc_clusters,
+        "greedy_actions": q_greedy_actions,
+        "render_formats": q_render_formats,
         "snapshot_merge": q_snapshot_merge,
         "simhash_fingerprints": q_simhash_fingerprints,
         "simhash_clusters": q_simhash_clusters,
@@ -671,6 +712,57 @@ def oracle_sql() -> dict[str, str]:
         "band_join_pairs": f"""
             WITH {_SURROGATE_PAIRS_CTE}
             SELECT a_id, b_id, hamming FROM verified
+        """,
+        "render_formats": f"""
+            WITH {_SURROGATE_PAIRS_CTE}
+            SELECT doc_id,
+                   upper(printf('%x', fp)) AS fp_hex,
+                   bin(fp) AS fp_bin,
+                   fp AS fp_roundtrip
+            FROM fps
+        """,
+        "greedy_actions": f"""
+            WITH RECURSIVE {_SURROGATE_PAIRS_CTE},
+            scored AS (
+              SELECT doc_id, fp & 1048575 AS score FROM fps
+            ),
+            oriented AS (
+              SELECT CASE WHEN sb.score > sa.score
+                            OR (sb.score = sa.score AND v.b_id < v.a_id)
+                          THEN v.b_id ELSE v.a_id END AS winner,
+                     CASE WHEN sb.score > sa.score
+                            OR (sb.score = sa.score AND v.b_id < v.a_id)
+                          THEN v.a_id ELSE v.b_id END AS loser,
+                     greatest(sa.score, sb.score) AS wscore
+              FROM verified v
+              JOIN scored sa ON sa.doc_id = v.a_id
+              JOIN scored sb ON sb.doc_id = v.b_id
+            ),
+            ordered AS (
+              SELECT winner, loser,
+                     row_number() OVER (ORDER BY wscore DESC, winner, loser)
+                       AS rn
+              FROM oriented
+            ),
+            walk(i, dead) AS (
+              SELECT 0, []::BIGINT[]
+              UNION ALL
+              SELECT o.rn,
+                     CASE WHEN list_contains(w.dead, o.winner) THEN w.dead
+                          ELSE list_append(w.dead, o.loser) END
+              FROM walk w JOIN ordered o ON o.rn = w.i + 1
+            ),
+            final_dead AS (SELECT dead FROM walk ORDER BY i DESC LIMIT 1),
+            members AS (
+              SELECT DISTINCT doc_id FROM (
+                SELECT a_id AS doc_id FROM verified
+                UNION ALL SELECT b_id FROM verified
+              )
+            )
+            SELECT m.doc_id,
+                   CASE WHEN list_contains(fd.dead, m.doc_id)
+                        THEN 'delete' ELSE 'keep' END AS action
+            FROM members m, final_dead fd
         """,
         "snapshot_merge": """
             WITH target AS (
