@@ -34,6 +34,32 @@ def write_bucketed_by_id(
     )
 
 
+def write_named_outputs(
+    outputs: dict[str, DataFrame],
+    base: str,
+    formats: dict[str, str] | None = None,
+    mode: str = "overwrite",
+) -> dict[str, str]:
+    """Multiple NAMED outputs, each in its own format — the Spark analog
+    of the reference's MultipleOutputs side files (S11: the incload jobs
+    emit delete/modify/unload/send lists as differently-formatted named
+    outputs next to the main result, SelectAndSendJob.java:541-673).
+
+    formats maps name -> 'parquet' | 'json' | 'csv' (default parquet).
+    Returns {name: path}."""
+    formats = formats or {}
+    paths: dict[str, str] = {}
+    for name, df in outputs.items():
+        fmt = formats.get(name, "parquet")
+        path = f"{base}/{name}"
+        w = df.write.mode(mode)
+        if fmt == "csv":
+            w = w.option("header", "true")
+        w.format(fmt).save(path)
+        paths[name] = path
+    return paths
+
+
 def write_sorted_within_partitions(
     df: DataFrame,
     path: str,

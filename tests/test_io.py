@@ -46,3 +46,19 @@ def test_sorted_within_partitions(spark, tmp_path_factory):
     ranges.sort()
     for (a_lo, a_hi), (b_lo, b_hi) in zip(ranges, ranges[1:]):
         assert a_hi <= b_lo
+
+
+def test_named_outputs_multiple_formats(spark, tmp_path):
+    """S11: multiple named side outputs, each in its own format."""
+    from simhash_text_dedup_spark.sources.io import write_named_outputs
+
+    a = spark.createDataFrame([(1, "x"), (2, "y")], "doc_id long, v string")
+    b = spark.createDataFrame([(3,)], "doc_id long")
+    paths = write_named_outputs(
+        {"main": a, "kill_list": b},
+        str(tmp_path / "out"),
+        formats={"kill_list": "csv"},
+    )
+    assert spark.read.parquet(paths["main"]).count() == 2
+    got = spark.read.option("header", "true").csv(paths["kill_list"]).collect()
+    assert [int(r.doc_id) for r in got] == [3]

@@ -1,0 +1,102 @@
+"""Physical-plan assertions: the scale properties claimed in
+ARCHITECTURE.md must be visible in `.explain("formatted")` — pushdown,
+column pruning, no dedup shuffle in the band join, broadcast of tiny
+sides, whole-stage codegen on the verify predicate."""
+
+import io
+from contextlib import redirect_stdout
+
+import pytest
+from pyspark.sql import functions as F
+
+from simhash_text_dedup_spark.config import DedupConfig
+from simhash_text_dedup_spark.operators.pairs import near_pairs
+
+SF = "/root/testdata/sf0.001"
+
+
+def _plan(df) -> str:
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        df.explain("formatted")
+    return buf.getvalue()
+
+
+def test_scan_pushdown_and_column_pruning(spark):
+    df = (
+        spark.read.parquet(f"{SF}/documents.parquet")
+        .filter(F.col("lang") == "en")
+        .select("doc_id", "source", "n_chars")
+    )
+    plan = _plan(df)
+    # predicate reaches the parquet scan
+    assert "EqualTo(lang,en)" in plan, plan
+    # projection pruned at the scan: the wide text column is NOT read
+    read_schema = [ln for ln in plan.splitlines() if "ReadSchema" in ln][0]
+    assert "text" not in read_schema, read_schema
+    assert "doc_id" in read_schema
+
+
+@pytest.fixture(scope="module")
+def small_fps(spark):
+    rows = [(i, (i * 2654435761) % (1 << 60)) for i in range(200)]
+    return spark.createDataFrame(rows, "doc_id long, fingerprint long")
+
+
+def test_band_join_has_no_dedup_shuffle(spark, small_fps):
+    """Pair dedup is the first-matching-band predicate inside the join —
+    there must be NO Deduplicate/Window/dropDuplicates node in the plan
+    (at 10^12 files a post-join dedup shuffle is the bottleneck)."""
+    plan = _plan(near_pairs(small_fps, DedupConfig()))
+    assert "Deduplicate" not in plan
+    assert "Window" not in plan
+
+
+def test_band_join_broadcasts_hot_bucket_set(spark, small_fps):
+    """The hot-bucket histogram tail joins back via broadcast, never a
+    shuffled join."""
+    plan = _plan(near_pairs(small_fps, DedupConfig()))
+    assert "BroadcastExchange" in plan
+
+
+def test_verify_predicate_is_jvm_side(spark, small_fps):
+    """Hamming verify (bit_count(xor)) and the first-match predicate are
+    JVM expressions — no Python evaluation node anywhere in the band
+    join / verify plan."""
+    plan = _plan(near_pairs(small_fps, DedupConfig()))
+    assert "bit_count" in plan
+    assert "ArrowEvalPython" not in plan
+    assert "BatchEvalPython" not in plan
+    assert "FlatMapGroupsInPandas" not in plan
+
+
+def test_quota_topk_broadcasts_counts(spark):
+    from simhash_text_dedup_spark.operators.topk import quota_topk
+
+    df = spark.createDataFrame(
+        [(i, float(i), i % 2 == 0) for i in range(100)],
+        "doc_id long, score double, is_old boolean",
+    )
+    plan = _plan(quota_topk(df, k=10))
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
+
+
+def test_fingerprint_stage_single_python_stage(spark):
+    """Exactly ONE Arrow/pandas-UDF evaluation in the fingerprint plan —
+    utf-8 encode happens JVM-side, everything downstream is columnar."""
+    from simhash_text_dedup_spark.plans.pipeline import (
+        fingerprint_stage,
+        prepare_documents,
+    )
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet").selectExpr(
+        "'r' as repo", "cast(doc_id as string) as path",
+        "'c' as commit", "lang", "text as content"
+    )
+    import re
+
+    plan = _plan(fingerprint_stage(prepare_documents(docs), DedupConfig()))
+    node_ids = set(re.findall(r"\((\d+)\) ArrowEvalPython", plan))
+    assert len(node_ids) == 1, plan
+    # no row-at-a-time Python UDF node anywhere
+    assert "BatchEvalPython" not in plan
