@@ -467,6 +467,32 @@ def q_cc_clusters(spark, sf):
     return connected_components(pairs.select("a_id", "b_id"))
 
 
+def q_incremental_pairs(spark, sf):
+    # §3.1 hash-verified: the PRODUCTION incremental candidate generator
+    # (plans/incremental.candidate_pairs — new x new once, new x old
+    # always, old x old never, first-matching-band dedup) over surrogate
+    # fingerprints; even base doc_ids play the loaded corpus, everything
+    # else is the new batch.
+    from simhash_text_dedup_spark.config import DedupConfig
+    from simhash_text_dedup_spark.plans.incremental import candidate_pairs
+
+    fps = _surrogate_fps(spark, sf)
+    is_new = (F.col("doc_id") >= 10000000) | (F.col("doc_id") % 2 == 1)
+    tagged = fps.select(
+        "doc_id", "fingerprint",
+        is_new.alias("is_new"),
+        (~is_new).alias("is_loaded"),
+        F.col("fingerprint").bitwiseAND(F.lit(1048575)).cast("double").alias("score"),
+    )
+    return candidate_pairs(
+        tagged.filter("is_new"), tagged, DedupConfig()
+    ).select(
+        "a_id", "b_id",
+        F.col("hamming").cast("bigint").alias("hamming"),
+        "b_is_new",
+    )
+
+
 def q_render_formats(spark, sf):
     # F5 hex/bin rendering + parse round-trip (the reference renders
     # fingerprints/docids as hex text in its list files and HBase keys)
@@ -649,6 +675,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "band_join_pairs": q_band_join_pairs,
         "cc_clusters": q_cc_clusters,
         "greedy_actions": q_greedy_actions,
+        "incremental_pairs": q_incremental_pairs,
         "render_formats": q_render_formats,
         "snapshot_merge": q_snapshot_merge,
         "simhash_fingerprints": q_simhash_fingerprints,
@@ -712,6 +739,28 @@ def oracle_sql() -> dict[str, str]:
         "band_join_pairs": f"""
             WITH {_SURROGATE_PAIRS_CTE}
             SELECT a_id, b_id, hamming FROM verified
+        """,
+        "incremental_pairs": f"""
+            WITH {_SURROGATE_PAIRS_CTE},
+            tagged AS (
+              SELECT doc_id, fp,
+                     (doc_id >= 10000000 OR doc_id % 2 = 1) AS is_new
+              FROM fps
+            ),
+            tb AS (
+              SELECT doc_id, fp, is_new, b.band,
+                     (fp >> (48 - 16 * b.band)) & 65535 AS band_key
+              FROM tagged, (VALUES (0), (1), (2), (3)) AS b(band)
+            )
+            SELECT DISTINCT l.doc_id AS a_id, r.doc_id AS b_id,
+                   bit_count(xor(l.fp, r.fp))::BIGINT AS hamming,
+                   r.is_new AS b_is_new
+            FROM tb l JOIN tb r
+              ON l.band = r.band AND l.band_key = r.band_key
+            WHERE l.is_new
+              AND l.doc_id != r.doc_id
+              AND ((NOT r.is_new) OR l.doc_id < r.doc_id)
+              AND bit_count(xor(l.fp, r.fp)) <= 3
         """,
         "render_formats": f"""
             WITH {_SURROGATE_PAIRS_CTE}

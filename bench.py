@@ -22,8 +22,11 @@ import os
 import sys
 import time
 
+# v5: corpora over 50k docs are generated block-parallel (~20x faster
+# regeneration when /tmp is wiped); bytes differ from the v4 sequential
+# stream, so the cache dir is versioned
 BENCH_DOCS = int(os.environ.get("SPARK_GRAFT_BENCH_DOCS", "300000"))
-CORPUS_DIR = f"/tmp/simhash_bench_corpus_v4_{BENCH_DOCS}"
+CORPUS_DIR = f"/tmp/simhash_bench_corpus_v5_{BENCH_DOCS}"
 
 
 def ensure_corpus(n_docs: int) -> str:

@@ -19,17 +19,20 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
-def spam_pass(fps: DataFrame, threshold: int) -> tuple[DataFrame, DataFrame]:
-    """Split fingerprinted docs into (survivors, spam_kills).
-
-    fps must have columns doc_id, fingerprint (others pass through).
-    spam_kills has (doc_id, ref_doc_id) where ref_doc_id is the kept
-    first occurrence.
-    """
+def spam_tag(fps: DataFrame) -> DataFrame:
+    """One window over fingerprint adds fp_count + fp_first.  Callers
+    that need BOTH outputs (survivors and kills) should checkpoint THIS
+    DataFrame once and derive each side with `split_spam` — otherwise
+    the window shuffle runs once per materialized output."""
     w = Window.partitionBy("fingerprint")
-    tagged = fps.withColumn("fp_count", F.count(F.lit(1)).over(w)).withColumn(
+    return fps.withColumn("fp_count", F.count(F.lit(1)).over(w)).withColumn(
         "fp_first", F.min("doc_id").over(w)
     )
+
+
+def split_spam(tagged: DataFrame, threshold: int) -> tuple[DataFrame, DataFrame]:
+    """(survivors, spam_kills) from a spam_tag output — filters only,
+    no additional shuffle or recompute."""
     is_kill = (F.col("fp_count") > threshold) & (F.col("doc_id") != F.col("fp_first"))
     # fp_rep (= min doc_id of the fingerprint group, always a survivor) is
     # kept so the exact-group stage reuses this shuffle instead of adding one.
@@ -43,3 +46,13 @@ def spam_pass(fps: DataFrame, threshold: int) -> tuple[DataFrame, DataFrame]:
         .select("doc_id", F.col("fp_first").alias("ref_doc_id"))
     )
     return survivors, kills
+
+
+def spam_pass(fps: DataFrame, threshold: int) -> tuple[DataFrame, DataFrame]:
+    """Split fingerprinted docs into (survivors, spam_kills).
+
+    fps must have columns doc_id, fingerprint (others pass through).
+    spam_kills has (doc_id, ref_doc_id) where ref_doc_id is the kept
+    first occurrence.
+    """
+    return split_spam(spam_tag(fps), threshold)

@@ -53,7 +53,6 @@ from simhash_text_dedup_spark.functions.simhash import (
     hamming_col,
 )
 from simhash_text_dedup_spark.operators.cluster import connected_components
-from simhash_text_dedup_spark.operators.spam import spam_pass
 from simhash_text_dedup_spark.plans.pipeline import (
     Checkpointer,
     fingerprint_stage,
@@ -84,6 +83,48 @@ def _banded(fps: DataFrame, cfg: DedupConfig) -> DataFrame:
         F.explode(band_entries(F.col("fingerprint"), cfg.n_bands, cfg.band_bits)).alias("e"),
     ).select(
         "doc_id", "fingerprint", "is_new", "is_loaded", "score", "e.band", "e.band_key"
+    )
+
+
+def candidate_pairs(
+    new_side: DataFrame, all_side: DataFrame, cfg: DedupConfig
+) -> DataFrame:
+    """Incremental candidate generation + Hamming verify (pure; no
+    checkpointing).  Both inputs carry (doc_id, fingerprint, is_new,
+    is_loaded, score).  Pair domain: new x new emitted once (a < b),
+    new x old always kept (direction rule E5, DeDupMapper.java:220-226),
+    old x old never compared; each pair emitted only in its first
+    matching band (same zero-shuffle predicate as the batch join)."""
+    left = _banded(new_side, cfg).select(
+        "band", "band_key",
+        F.col("doc_id").alias("a_id"), F.col("fingerprint").alias("a_fp"),
+        F.col("is_new").alias("a_is_new"), F.col("is_loaded").alias("a_loaded"),
+        F.col("score").alias("a_score"),
+    )
+    right = _banded(all_side, cfg).select(
+        "band", "band_key",
+        F.col("doc_id").alias("b_id"), F.col("fingerprint").alias("b_fp"),
+        F.col("is_new").alias("b_is_new"), F.col("is_loaded").alias("b_loaded"),
+        F.col("score").alias("b_score"),
+    )
+    joined = left.join(right, ["band", "band_key"]).filter(
+        (~F.col("b_is_new")) | (F.col("a_id") < F.col("b_id"))
+    )
+    first_match = F.lit(True)
+    for j in range(cfg.n_bands - 1):
+        j_matches = band_key(F.col("a_fp"), j, cfg.n_bands, cfg.band_bits) == band_key(
+            F.col("b_fp"), j, cfg.n_bands, cfg.band_bits
+        )
+        first_match = first_match & ((F.col("band") <= F.lit(j)) | ~j_matches)
+    return (
+        joined.withColumn("hamming", hamming_col(F.col("a_fp"), F.col("b_fp")))
+        .filter((F.col("hamming") <= cfg.hamming_k) & (F.col("a_id") != F.col("b_id")))
+        .filter(first_match)
+        .select(
+            "a_id", "b_id", "hamming",
+            "a_is_new", "b_is_new", "a_loaded", "b_loaded",
+            "a_score", "b_score",
+        )
     )
 
 
@@ -145,8 +186,11 @@ def run_incremental(
     # --- spam kill within the new batch (unchanged re-crawls still
     # probe — the reference writes same_finger rows to BOTH the unload
     # marker and the dedup stream, DeDupMapper.java:147-166)
-    survivors, kills = spam_pass(new_fps, cfg.spam_threshold)
-    kills = ck.through(kills, "spam_kills")
+    from simhash_text_dedup_spark.operators.spam import spam_tag, split_spam
+
+    tagged = ck.through(spam_tag(new_fps), "spam_tagged")
+    survivors, kills = split_spam(tagged, cfg.spam_threshold)
+    kills = ck.observe(kills, "spam_kills")
 
     # is_loaded = the entity already exists in the index (reference lf
     # flag); drives the delete-vs-modify split for losers
@@ -177,40 +221,7 @@ def run_incremental(
             F.lit(True).alias("is_loaded"), "score",
         )
     )
-    left = _banded(new_side, cfg).select(
-        "band", "band_key",
-        F.col("doc_id").alias("a_id"), F.col("fingerprint").alias("a_fp"),
-        F.col("is_new").alias("a_is_new"), F.col("is_loaded").alias("a_loaded"),
-        F.col("score").alias("a_score"),
-    )
-    right = _banded(all_side, cfg).select(
-        "band", "band_key",
-        F.col("doc_id").alias("b_id"), F.col("fingerprint").alias("b_fp"),
-        F.col("is_new").alias("b_is_new"), F.col("is_loaded").alias("b_loaded"),
-        F.col("score").alias("b_score"),
-    )
-    joined = left.join(right, ["band", "band_key"]).filter(
-        # new x new once (a<b); new x old always kept (direction E5)
-        (~F.col("b_is_new")) | (F.col("a_id") < F.col("b_id"))
-    )
-    first_match = F.lit(True)
-    for j in range(cfg.n_bands - 1):
-        j_matches = band_key(F.col("a_fp"), j, cfg.n_bands, cfg.band_bits) == band_key(
-            F.col("b_fp"), j, cfg.n_bands, cfg.band_bits
-        )
-        first_match = first_match & ((F.col("band") <= F.lit(j)) | ~j_matches)
-
-    pairs = ck.through(
-        joined.withColumn("hamming", hamming_col(F.col("a_fp"), F.col("b_fp")))
-        .filter((F.col("hamming") <= cfg.hamming_k) & (F.col("a_id") != F.col("b_id")))
-        .filter(first_match)
-        .select(
-            "a_id", "b_id", "hamming",
-            "a_is_new", "b_is_new", "a_loaded", "b_loaded",
-            "a_score", "b_score",
-        ),
-        "pairs",
-    )
+    pairs = ck.through(candidate_pairs(new_side, all_side, cfg), "pairs")
 
     cc = connected_components(
         pairs.select("a_id", "b_id"), cfg.cc_max_iter, cfg.cc_driver_threshold

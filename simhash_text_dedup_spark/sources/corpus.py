@@ -221,12 +221,59 @@ def generate_corpus(spec: CorpusSpec) -> tuple[pd.DataFrame, pd.DataFrame]:
     return docs, man
 
 
-def write_corpus(out_dir: str, spec: CorpusSpec) -> tuple[str, str]:
-    """Write documents.parquet + manifest.parquet under out_dir."""
+def _gen_block(args: tuple[int, int, int]) -> tuple[pd.DataFrame, pd.DataFrame]:
+    seed, n_docs, spam_threshold = args
+    return generate_corpus(CorpusSpec(n_docs=n_docs, seed=seed,
+                                      spam_threshold=spam_threshold))
+
+
+def generate_corpus_parallel(
+    spec: CorpusSpec, block_docs: int = 25_000, n_workers: int | None = None
+) -> tuple[pd.DataFrame, pd.DataFrame]:
+    """Block-parallel corpus generation for large bench corpora.
+
+    Each block is an independent deterministic corpus seeded by
+    (spec.seed, block index) — same spec -> byte-identical output, but
+    NOT the same bytes as the sequential generator (bench corpora cache
+    dirs are versioned accordingly).  ~n_workers x faster: calibration
+    (SimHash probing per planted variant) dominates generation."""
+    import os
+    from concurrent.futures import ProcessPoolExecutor
+
+    sizes = []
+    left = spec.n_docs
+    while left > 0:
+        take = min(block_docs, left)
+        sizes.append(take)
+        left -= take
+    args = [
+        (spec.seed * 1_000_003 + i, n, spec.spam_threshold)
+        for i, n in enumerate(sizes)
+    ]
+    workers = n_workers or min(len(args), os.cpu_count() or 4)
+    if len(args) == 1:
+        parts = [_gen_block(args[0])]
+    else:
+        with ProcessPoolExecutor(max_workers=workers) as ex:
+            parts = list(ex.map(_gen_block, args))
+    docs = pd.concat([d for d, _ in parts], ignore_index=True)
+    man = pd.concat([m for _, m in parts], ignore_index=True)
+    return docs, man
+
+
+def write_corpus(
+    out_dir: str, spec: CorpusSpec, parallel: bool | None = None
+) -> tuple[str, str]:
+    """Write documents.parquet + manifest.parquet under out_dir.
+    parallel=None auto-enables block-parallel generation above 50k docs."""
     import os
 
     os.makedirs(out_dir, exist_ok=True)
-    docs, man = generate_corpus(spec)
+    if parallel is None:
+        parallel = spec.n_docs > 50_000
+    docs, man = (
+        generate_corpus_parallel(spec) if parallel else generate_corpus(spec)
+    )
     # documents is a DIRECTORY of parquet files (like any production
     # table): Spark gets one real partition per file, so scans and the
     # fingerprint UDF parallelize without an extra repartition shuffle.

@@ -30,7 +30,7 @@ def test_resume_skips_stages_and_matches(spark, tmp_path_factory):
     assert first == second
     assert warm < cold * 0.7  # resumed run must skip recomputation
     # every stage directory has a success marker
-    for stage in ("fingerprints", "survivors", "spam_kills", "pairs", "clusters"):
+    for stage in ("fingerprints", "spam_tagged", "pairs", "clusters"):
         assert os.path.exists(os.path.join(root, stage, "_SUCCESS")), stage
 
 
@@ -46,7 +46,7 @@ def test_lineage_written(spark, tmp_path_factory):
     assert os.path.exists(path)
     stages = json.load(open(path))
     names = [s["stage"] for s in stages]
-    assert names == ["fingerprints", "survivors", "spam_kills", "pairs", "clusters"]
+    assert names == ["fingerprints", "spam_tagged", "pairs", "clusters"]
     for s in stages:
         assert s["rows"] >= 0 and s["n_partitions"] >= 0
         assert "per_partition" in s and "partition_rows" in s

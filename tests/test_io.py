@@ -62,3 +62,19 @@ def test_named_outputs_multiple_formats(spark, tmp_path):
     assert spark.read.parquet(paths["main"]).count() == 2
     got = spark.read.option("header", "true").csv(paths["kill_list"]).collect()
     assert [int(r.doc_id) for r in got] == [3]
+
+
+def test_parallel_corpus_generation_deterministic():
+    """Block-parallel generation is deterministic and carries planted
+    families in every block."""
+    from simhash_text_dedup_spark.sources.corpus import (
+        CorpusSpec,
+        generate_corpus_parallel,
+    )
+
+    spec = CorpusSpec(n_docs=400, seed=7, spam_threshold=5)
+    d1, m1 = generate_corpus_parallel(spec, block_docs=150)
+    d2, m2 = generate_corpus_parallel(spec, block_docs=150)
+    assert d1.equals(d2) and m1.equals(m2)
+    assert len(d1) == 400
+    assert (m1.family.str.startswith("F-NEAR")).sum() >= 3  # per block
