@@ -60,10 +60,18 @@ def main() -> None:
         checkpoint_dir=args.checkpoint, resume=args.resume,
     )
 
-    snap = corpus.merge(
-        res.new_fingerprints.select("doc_id", "entity_id", "fingerprint", "score"),
-        key_cols=["entity_id"],
+    # commit ONLY docs that should exist in the corpus going forward:
+    # spam-killed rows and delete-list losers are never loaded (the
+    # reference drops them before the HBase bulk-load) — committing
+    # them would re-seed next round's band join with the very floods
+    # the spam pass exists to kill
+    to_commit = (
+        res.new_fingerprints
+        .join(res.spam_kills.select("doc_id"), "doc_id", "left_anti")
+        .join(res.delete_list.select("doc_id"), "doc_id", "left_anti")
+        .select("doc_id", "entity_id", "fingerprint", "score")
     )
+    snap = corpus.merge(to_commit, key_cols=["entity_id"])
     write_named_outputs(
         {
             "delete_list": res.delete_list,

@@ -107,6 +107,7 @@ def connected_components(
         .localCheckpoint(eager=False)
     )
 
+    changed = -1  # "never measured" (max_iter <= 0)
     for _ in range(max_iter):
         # one-hop propagation along edges
         msgs = e.join(labels, e.b_id == labels.doc_id).select(
@@ -147,9 +148,10 @@ def connected_components(
         # silently wrong clusters (round-1 ADVICE)
         import warnings
 
+        still = "an unmeasured number of" if changed < 0 else str(changed)
         warnings.warn(
             f"connected_components: label propagation did not converge "
-            f"within max_iter={max_iter} ({changed} labels still "
+            f"within max_iter={max_iter} ({still} labels still "
             f"changing); clusters may be split. Raise cc_max_iter.",
             RuntimeWarning,
             stacklevel=2,

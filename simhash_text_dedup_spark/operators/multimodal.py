@@ -187,17 +187,25 @@ def _fake_decode(payload: bytes) -> np.ndarray:
 
 
 def _decode_one(payload: bytes, strict: bool) -> np.ndarray:
-    if payload.startswith(b"P6"):
-        frames = split_ppm_frames(payload)
-        feats = np.stack([image_features(decode_ppm(f)) for f in frames])
-        return feats.mean(axis=0)  # multi-frame video: mean-pool frames
-    if payload[:4] == b"RIFF":
-        _, samples = decode_wav(payload)
-        return audio_features(samples)
+    """Magic-sniff + decode.  A payload that LOOKS like P6/RIFF but
+    fails to parse (WebP and AVI are RIFF containers too; 'P6' can open
+    arbitrary binaries) is treated like any other foreign format:
+    deterministic fallback when strict=False, NotImplementedError when
+    strict=True — a bad byte must never abort the whole Spark stage."""
+    try:
+        if payload.startswith(b"P6"):
+            frames = split_ppm_frames(payload)
+            feats = np.stack([image_features(decode_ppm(f)) for f in frames])
+            return feats.mean(axis=0)  # multi-frame video: mean-pool frames
+        if payload[:4] == b"RIFF":
+            _, samples = decode_wav(payload)
+            return audio_features(samples)
+    except ValueError:
+        pass  # sniffed magic, undecodable body -> foreign-format path
     if strict:
         raise NotImplementedError(
-            "no decoder for this payload format (PPM/WAV are decoded "
-            "natively; other codecs need external libraries)"
+            "no decoder for this payload format (PPM P6 / RIFF-WAV PCM16 "
+            "are decoded natively; other codecs need external libraries)"
         )
     return _fake_decode(payload)
 
@@ -247,16 +255,29 @@ def sample_frames(media: DataFrame, every_ms: int = 1000) -> DataFrame:
             payloads = [bytes(p) if p is not None else b"" for p in pdf["payload"]]
             for r in range(len(pdf)):
                 p = payloads[r]
+                m = metas[r]
+                dur = (m["duration_ms"] or 0) if m is not None else 0
+                frames = None
                 if p.startswith(b"P6"):
-                    frames = split_ppm_frames(p)
-                    step = max(1, every_ms // 1000)
-                    for i in range(0, len(frames), step):
-                        ids.append(doc_ids[r])
-                        idxs.append(i)
-                        feats.append(image_features(decode_ppm(frames[i])))
+                    try:
+                        frames = split_ppm_frames(p)
+                    except ValueError:
+                        frames = None  # P6-looking but undecodable body
+                if frames:
+                    # ms-per-frame from metadata (default 1 fps); sample
+                    # one frame at each every_ms instant
+                    ms_per_frame = (dur / len(frames)) if dur else 1000.0
+                    total = dur if dur else len(frames) * ms_per_frame
+                    t, emitted = 0.0, set()
+                    while t < total:
+                        i = min(len(frames) - 1, int(t // ms_per_frame))
+                        if i not in emitted:
+                            emitted.add(i)
+                            ids.append(doc_ids[r])
+                            idxs.append(i)
+                            feats.append(image_features(decode_ppm(frames[i])))
+                        t += every_ms
                 else:
-                    m = metas[r]
-                    dur = (m["duration_ms"] or 0) if m is not None else 0
                     for i in range(max(1, int(dur) // every_ms)):
                         ids.append(doc_ids[r])
                         idxs.append(i)

@@ -191,7 +191,14 @@ def near_pairs(distinct_fps: DataFrame, cfg: DedupConfig) -> DataFrame:
     that also share a cold band are kept (the first-match predicate
     skips hot earlier bands, so the first COLD matching band emits)."""
     b = banded(distinct_fps, cfg)
-    hot = hot_buckets(b, cfg).select("band", "band_key")
+    # cut lineage on the (tiny) hot set: it feeds the cold anti-join AND
+    # either the salted semi-join or the drop-mode driver collect — the
+    # checkpoint makes the band histogram aggregation run once, not per
+    # consumer
+    hot = (
+        hot_buckets(b, cfg).select("band", "band_key")
+        .localCheckpoint(eager=False)
+    )
 
     cold = b.join(F.broadcast(hot), ["band", "band_key"], "left_anti")
     left, right = _sides(cold)

@@ -38,7 +38,9 @@ def quota_topk(
     Adds `rank` (1-based within the side's ordering).
     """
     order_by = order_by or [F.col("score").desc(), F.col("doc_id").asc()]
-    quota_old = int(k * old_ratio)
+    # floor(k * old_ratio) with a binary-float guard: 100 * 0.29 is
+    # 28.999999999999996 and plain int() would under-allocate the side
+    quota_old = int(k * old_ratio + 1e-9)
     quota_new = k - quota_old
 
     w = Window.partitionBy(is_old).orderBy(*order_by)

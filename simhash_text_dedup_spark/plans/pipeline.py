@@ -134,13 +134,16 @@ class Checkpointer:
         out = {}
         for stage, obs in self.observations.items():
             # Observation.get blocks until an action fills it; probe the
-            # underlying future non-blockingly via the JVM handle
+            # underlying future non-blockingly via the JVM handle. If the
+            # probe is unavailable (Spark Connect Observation has no _jo;
+            # private API drift), SKIP the stage — never fall through to
+            # the blocking get, which would hang on un-materialized plans
             try:
                 jo = obs._jo  # py4j Observation; None until registered
-                if jo is not None and jo.getOrEmpty().isEmpty():
+                if jo is None or jo.getOrEmpty().isEmpty():
                     continue
             except Exception:
-                pass
+                continue
             out[stage] = dict(obs.get)
         return out
 

@@ -95,24 +95,40 @@ class SnapshotTable:
     # --- commit machinery --------------------------------------------
     def _commit(self, parent: int | None, op: str, dirs: list[str], rows: int) -> int:
         """Atomically append a snapshot whose parent must still be the
-        head (optimistic concurrency)."""
-        log = self._log()
-        head = log[-1]["id"] if log else None
-        if head != parent:
-            raise ConcurrentCommit(
-                f"table head moved {parent} -> {head} during the operation"
-            )
-        new_id = (head or 0) + 1
-        log.append({"id": new_id, "parent": parent, "op": op,
-                    "rows": rows, "dirs": dirs})
-        fd, tmp = tempfile.mkstemp(dir=self.path, suffix=".json.tmp")
-        with os.fdopen(fd, "w") as f:
-            json.dump(log, f, indent=1)
-        os.replace(tmp, self._log_path)  # atomic on POSIX
-        return new_id
+        head (optimistic concurrency).  The read-check-replace sequence
+        holds an exclusive flock on `_commit.lock`, so two local writers
+        serialize; the loser of a parent race gets ConcurrentCommit, and
+        its orphaned data dir is never referenced by any snapshot (an
+        Iceberg catalog's compare-and-swap plays this role on a real
+        cluster)."""
+        import fcntl
+
+        lock_path = os.path.join(self.path, "_commit.lock")
+        with open(lock_path, "w") as lock:
+            fcntl.flock(lock, fcntl.LOCK_EX)
+            log = self._log()
+            head = log[-1]["id"] if log else None
+            if head != parent:
+                raise ConcurrentCommit(
+                    f"table head moved {parent} -> {head} during the operation"
+                )
+            new_id = (head or 0) + 1
+            log.append({"id": new_id, "parent": parent, "op": op,
+                        "rows": rows, "dirs": dirs})
+            fd, tmp = tempfile.mkstemp(dir=self.path, suffix=".json.tmp")
+            with os.fdopen(fd, "w") as f:
+                json.dump(log, f, indent=1)
+            os.replace(tmp, self._log_path)  # atomic on POSIX
+            return new_id
 
     def _write_data(self, df: DataFrame, snap_id_hint: int) -> tuple[str, int]:
-        d = f"snap-{snap_id_hint:08d}"
+        # UNIQUE dir per write attempt: two writers racing from the same
+        # parent must never target the same path, or the loser's
+        # mode('overwrite') would corrupt the winner's COMMITTED files
+        # before the loser's _commit raises
+        import uuid
+
+        d = f"snap-{snap_id_hint:08d}-{uuid.uuid4().hex[:8]}"
         full = os.path.join(self.path, d)
         df.write.mode("overwrite").parquet(full)
         rows = self.spark.read.parquet(full).count()

@@ -95,3 +95,34 @@ def test_frame_sampling_expands_rows(spark):
         by_doc.setdefault(r.doc_id, []).append(tuple(r.frame_feature))
     for feats in by_doc.values():
         assert len(set(feats)) == len(feats)
+
+
+def test_riff_but_not_wav_falls_back_not_crashes(spark):
+    """WebP/AVI are RIFF containers: a RIFF payload that is not PCM16
+    WAV must use the deterministic fallback in non-strict mode (and
+    raise only in strict mode), never abort the stage."""
+    from simhash_text_dedup_spark.operators.multimodal import MEDIA_SCHEMA
+
+    webp_ish = bytearray(b"RIFF\x10\x00\x00\x00WEBPVP8 fakebody")
+    p6_ish = bytearray(b"P6 garbage not a header")
+    df = spark.createDataFrame(
+        [
+            (1, "image", webp_ish, ("image/webp", 1, 1, None, None)),
+            (2, "image", p6_ish, ("image/x-ppm", 1, 1, None, None)),
+        ],
+        MEDIA_SCHEMA,
+    )
+    out = extract_features(df).collect()
+    assert len(out) == 2 and all(len(r.feature) == FEATURE_DIM for r in out)
+    with pytest.raises(Exception):
+        extract_features(df, strict=True).collect()
+
+
+def test_frame_sampling_denser_and_sparser_rates(spark):
+    """every_ms below/above the per-frame duration changes the sample
+    count for PPM video (was silently ignored below 1000ms)."""
+    media = make_fake_media(spark, n=3, seed=42)  # 1 video, 3 frames/3000ms
+    dense = sample_frames(media, every_ms=500).collect()
+    sparse = sample_frames(media, every_ms=3000).collect()
+    assert len(dense) == 3   # 6 instants dedup to the 3 distinct frames
+    assert len(sparse) == 1  # one instant -> first frame only

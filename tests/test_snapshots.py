@@ -99,3 +99,23 @@ def test_incremental_round_persists_via_merge(spark, tmp_path):
     )
     assert corpus.read().count() == 60
     assert corpus.read().select("entity_id").distinct().count() == 60
+
+
+def test_racing_writers_never_corrupt_committed_data(spark, tmp_path):
+    """The loser of a commit race must not touch the winner's committed
+    files: data dirs are unique per write attempt and the commit's
+    head-check holds a lock."""
+    t1 = SnapshotTable(spark, str(tmp_path / "t"))
+    t1.append(_df(spark, [(1, 10, 0.5)]))
+    parent = t1.current_snapshot()
+    # writer A stages its data (not yet committed)
+    d_a, rows_a = t1._write_data(_df(spark, [(7, 70, 0.7)]), parent + 1)
+    # writer B stages AND commits from the same parent
+    t2 = SnapshotTable(spark, str(tmp_path / "t"))
+    d_b, rows_b = t2._write_data(_df(spark, [(8, 80, 0.8)]), parent + 1)
+    assert d_a != d_b  # unique dirs: no overwrite of each other's files
+    t2._commit(parent, "append", t2._log()[-1]["dirs"] + [d_b], 2)
+    # B's committed table is intact regardless of A's staged files
+    assert {r.entity_id for r in t2.read().collect()} == {1, 8}
+    with pytest.raises(ConcurrentCommit):
+        t1._commit(parent, "append", [d_a], rows_a)
