@@ -583,6 +583,21 @@ def q_embedding_topk_lsh(spark, sf):
     )
 
 
+def q_embedding_topk_ivf(spark, sf):
+    # IVF ANN: spherical-kmeans coarse lists + n_probe pruning + exact
+    # re-rank (rows-only: driver k-means isn't SQL-expressible)
+    from simhash_text_dedup_spark.operators.similarity import ivf_topk
+
+    emb = _read(spark, sf, "embeddings")
+    queries_df = (
+        emb.orderBy("vec_id").limit(5)
+        .select(F.col("vec_id").alias("query_id"), "embedding")
+    )
+    return ivf_topk(emb, queries_df, k=10, n_lists=32, n_probe=8).select(
+        "query_id", "neighbor_id", F.col("rank").cast("bigint").alias("rank")
+    )
+
+
 def q_incremental_round(spark, sf):
     # incremental new-vs-old dedup round (SURVEY §3.1/§2.9; rows-only)
     from simhash_text_dedup_spark.config import DedupConfig
@@ -683,6 +698,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_fingerprint_xxhash": q_doc_fingerprint_xxhash,
         "minhash_pairs": q_minhash_pairs,
         "embedding_topk_lsh": q_embedding_topk_lsh,
+        "embedding_topk_ivf": q_embedding_topk_ivf,
         "multimodal_features": q_multimodal_features,
         "incremental_round": q_incremental_round,
         "simhash_clusters_greedy": q_simhash_clusters_greedy,

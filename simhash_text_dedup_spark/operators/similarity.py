@@ -1,6 +1,6 @@
 """Similarity search over embedding columns.
 
-Two paths:
+Three paths:
   * brute_force_topk — exact cosine top-k of every query against the
     corpus (broadcast the query set, JVM-side zip_with/aggregate dot
     products, window top-k).  The correctness baseline; O(|corpus| x
@@ -10,6 +10,13 @@ Two paths:
     >= 1 of the multi-probe band keys, exact cosine re-ranking among
     candidates only.  The scale path: the join is on band keys, so cost
     follows bucket sizes, not |corpus| x |queries|.
+  * ivf_topk — inverted-file index: coarse centroids trained on a
+    deterministic sample (driver numpy k-means over cosine geometry),
+    the corpus partitioned by nearest centroid, queries probe only
+    their n_probe nearest lists, exact re-rank inside probed lists.
+    The classic partition-pruned ANN layout: at 100 TB the corpus
+    would be WRITTEN partitioned by list_id, making a query's scan
+    exactly its probed partitions (partition pruning does the rest).
 """
 
 from __future__ import annotations
@@ -124,6 +131,94 @@ def lsh_topk(
     return (
         cands.join(c.select("vec_id", "v"), "vec_id")
         .join(q.select("query_id", "qv"), "query_id")
+        .withColumn("cos_sim", _cosine(F.col("v"), F.col("qv")))
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", F.col("vec_id").alias("neighbor_id"), "rank", "cos_sim")
+    )
+
+
+def _train_centroids(
+    sample: np.ndarray, n_lists: int, seed: int, n_iter: int = 12
+) -> np.ndarray:
+    """Seeded spherical k-means on a driver-side sample: unit-normalized
+    centroids, assignment by max dot product (== min cosine distance).
+    Deterministic for (sample, n_lists, seed)."""
+    rng = np.random.default_rng(seed)
+    x = sample / np.maximum(np.linalg.norm(sample, axis=1, keepdims=True), 1e-12)
+    n_lists = min(n_lists, len(x))
+    cent = x[rng.choice(len(x), size=n_lists, replace=False)].copy()
+    for _ in range(n_iter):
+        assign = (x @ cent.T).argmax(axis=1)
+        for j in range(n_lists):
+            members = x[assign == j]
+            if len(members):
+                c = members.sum(axis=0)
+                cent[j] = c / max(np.linalg.norm(c), 1e-12)
+    return cent
+
+
+def _list_assign_udf(centroids: np.ndarray, n_probe: int):
+    """pandas UDF: embedding -> array of the n_probe nearest list ids
+    (n_probe=1 for corpus-side assignment)."""
+    cent = centroids  # captured; shipped once per python worker
+
+    @F.pandas_udf(T.ArrayType(T.IntegerType()))
+    def _assign(emb: pd.Series) -> pd.Series:
+        if len(emb) == 0:
+            return pd.Series([], dtype=object)
+        mat = np.vstack([np.asarray(e, dtype=np.float64) for e in emb])
+        mat = mat / np.maximum(np.linalg.norm(mat, axis=1, keepdims=True), 1e-12)
+        sims = mat @ cent.T  # (n, n_lists)
+        top = np.argsort(-sims, axis=1)[:, :n_probe].astype(np.int32)
+        return pd.Series(list(top))
+
+    return _assign
+
+
+def ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    n_lists: int = 64,
+    n_probe: int = 4,
+    seed: int = 42,
+    sample_mod: int = 1,
+    sample_cap: int = 20_000,
+) -> DataFrame:
+    """Approximate cosine top-k via an inverted-file (IVF) index.
+
+    1. train: deterministic corpus sample (pmod(xxhash64(vec_id),
+       sample_mod) == 0, capped) -> driver spherical k-means centroids;
+    2. index: every corpus vector assigned to its nearest centroid
+       (list_id) in one Arrow pass;
+    3. probe: each query explodes to its n_probe nearest list_ids;
+    4. verify: equi-join on list_id + exact cosine re-rank, window
+       top-k.  Same output schema as brute_force_topk.
+
+    At production scale, step 2's output is a table PARTITIONED BY
+    list_id (write once, query many): a query then scans only its
+    probed partitions."""
+    c = corpus.select("vec_id", F.col("embedding").cast("array<double>").alias("v"))
+    sample_df = c
+    if sample_mod > 1:
+        sample_df = c.filter(F.pmod(F.xxhash64("vec_id"), F.lit(sample_mod)) == 0)
+    sample = np.array(
+        [row.v for row in sample_df.limit(sample_cap).collect()], dtype=np.float64
+    )
+    cent = _train_centroids(sample, n_lists, seed)
+
+    assign1 = _list_assign_udf(cent, 1)
+    assignp = _list_assign_udf(cent, n_probe)
+    c_lists = c.withColumn("list_id", assign1(F.col("v"))[0])
+    q = queries.select(
+        "query_id", F.col("embedding").cast("array<double>").alias("qv")
+    ).withColumn("list_id", F.explode(assignp(F.col("qv"))))
+
+    w = Window.partitionBy("query_id").orderBy(F.col("cos_sim").desc(), F.col("vec_id"))
+    return (
+        q.join(c_lists, "list_id")
+        .filter(F.col("vec_id") != F.col("query_id"))
         .withColumn("cos_sim", _cosine(F.col("v"), F.col("qv")))
         .withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
