@@ -505,6 +505,24 @@ def q_render_formats(spark, sf):
     )
 
 
+def q_cluster_size_histogram(spark, sf):
+    # dedup reporting: cluster-size histogram over the verified
+    # components (A4-style stats on the dedup output; hash-verified via
+    # the same recursive-CTE clustering as cc_clusters)
+    from simhash_text_dedup_spark.config import DedupConfig
+    from simhash_text_dedup_spark.operators.cluster import connected_components
+    from simhash_text_dedup_spark.operators.pairs import near_pairs
+
+    pairs = near_pairs(_surrogate_fps(spark, sf), DedupConfig())
+    cc = connected_components(pairs.select("a_id", "b_id"))
+    return (
+        cc.groupBy("cluster_id")
+        .agg(F.count(F.lit(1)).alias("sz"))
+        .groupBy(F.col("sz").alias("cluster_size"))
+        .agg(F.count(F.lit(1)).alias("n_clusters"))
+    )
+
+
 def q_greedy_actions(spark, sf):
     # W2 hash-verified: the PRODUCTION reference-exact greedy selection
     # (operators/selection.assign_actions_greedy — applyInPandas per
@@ -690,6 +708,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "band_join_pairs": q_band_join_pairs,
         "cc_clusters": q_cc_clusters,
         "greedy_actions": q_greedy_actions,
+        "cluster_size_histogram": q_cluster_size_histogram,
         "incremental_pairs": q_incremental_pairs,
         "render_formats": q_render_formats,
         "snapshot_merge": q_snapshot_merge,
@@ -755,6 +774,28 @@ def oracle_sql() -> dict[str, str]:
         "band_join_pairs": f"""
             WITH {_SURROGATE_PAIRS_CTE}
             SELECT a_id, b_id, hamming FROM verified
+        """,
+        "cluster_size_histogram": f"""
+            WITH RECURSIVE {_SURROGATE_PAIRS_CTE},
+            edges AS (
+              SELECT a_id AS a, b_id AS b FROM verified
+              UNION ALL SELECT b_id, a_id FROM verified
+            ),
+            verts AS (SELECT DISTINCT a AS id FROM edges),
+            reach(id, label) AS (
+              SELECT id, id FROM verts
+              UNION
+              SELECT e.a, r.label FROM edges e JOIN reach r ON e.b = r.id
+            ),
+            clusters AS (
+              SELECT id AS doc_id, min(label) AS cluster_id
+              FROM reach GROUP BY id
+            ),
+            sizes AS (
+              SELECT cluster_id, count(*) AS sz FROM clusters GROUP BY cluster_id
+            )
+            SELECT sz AS cluster_size, count(*) AS n_clusters
+            FROM sizes GROUP BY sz
         """,
         "incremental_pairs": f"""
             WITH {_SURROGATE_PAIRS_CTE},

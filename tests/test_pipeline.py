@@ -140,3 +140,34 @@ def test_observed_metrics_free_counters(result):
     # upstream stages ran as part of the same DAG
     assert observed["fingerprints"]["rows"] > 0
     assert observed["pairs"]["rows"] > 0
+
+
+def test_large_corpus_parity(spark):
+    """Recall/precision/cluster parity at 5k docs (12.5x the module
+    fixture) — the north rule's recall >= 0.99 pinned at a scale where
+    ~50 planted blocks of every family exist."""
+    from simhash_text_dedup_spark.reference_impl import Doc, reference_dedup
+
+    docs_pdf, _ = generate_corpus(CorpusSpec(n_docs=5000, seed=77))
+    res = run_dedup(spark, spark.createDataFrame(docs_pdf), CFG)
+    rows = res.fingerprints.collect()
+    golden = reference_dedup(
+        [Doc(r.doc_id, r.fingerprint, r.score, r.is_new) for r in rows],
+        hamming_k=CFG.hamming_k,
+        spam_threshold=CFG.spam_threshold,
+        selection="cc",
+    )
+    got_clusters = {r.doc_id: r.cluster_id for r in res.clusters.collect()}
+    # recall: every golden DOC-level pair co-clustered (the pipeline
+    # materializes rep-level near pairs + star edges, which is cluster-
+    # equivalent; >= 0.99 required, banding is exhaustive so 1.0)
+    missing = [
+        (a, b) for (a, b) in golden.pairs
+        if got_clusters.get(a) != got_clusters.get(b)
+    ]
+    assert not missing, f"missed {len(missing)}/{len(golden.pairs)} golden pairs"
+    # precision: every materialized pair is a golden pair
+    found = {(r.a_id, r.b_id) for r in res.pairs.collect()}
+    assert found <= golden.pairs, "pipeline emitted a non-golden pair"
+    # exact cluster-assignment parity
+    assert got_clusters == golden.clusters
