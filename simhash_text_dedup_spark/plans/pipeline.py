@@ -20,14 +20,12 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from simhash_text_dedup_spark.config import DedupConfig
-from simhash_text_dedup_spark.functions.simhash import simhash_udf
 from simhash_text_dedup_spark.operators.cluster import connected_components
 from simhash_text_dedup_spark.operators.pairs import exact_groups, near_pairs
 from simhash_text_dedup_spark.operators.selection import (
     assign_actions_cc,
     assign_actions_greedy,
 )
-from simhash_text_dedup_spark.operators.spam import spam_pass
 
 
 def prepare_documents(docs: DataFrame) -> DataFrame:

@@ -27,7 +27,6 @@ from __future__ import annotations
 import random
 from dataclasses import dataclass
 
-import numpy as np
 import pandas as pd
 
 from simhash_text_dedup_spark.fingerprint_core import hamming, simhash_one

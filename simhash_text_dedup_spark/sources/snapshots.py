@@ -39,7 +39,6 @@ import os
 import tempfile
 
 from pyspark.sql import DataFrame, SparkSession
-from pyspark.sql import functions as F
 
 
 class ConcurrentCommit(RuntimeError):
