@@ -275,6 +275,18 @@ def q_stopword_ratio(spark, sf):
     )
 
 
+def q_token_count_bpe(spark, sf):
+    # BPE-style subword pre-tokenization count (letter runs / digit runs
+    # / single punctuation — the GPT-2 pretokenizer family restricted to
+    # a dialect Java regex and RE2 agree on)
+    pat = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\\\s]"
+    return _docs(spark, sf).select(
+        "doc_id",
+        F.size(F.expr(f"regexp_extract_all(text, '{pat}', 0)"))
+        .cast("bigint").alias("n_subtokens"),
+    )
+
+
 def q_embedding_topk(spark, sf):
     # brute-force cosine top-k over the embedding column (ANN baseline);
     # query set = 5 lowest vec_ids, float64 math on both sides
@@ -699,6 +711,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_hourly": q_events_hourly,
         "activity_bitmap": q_activity_bitmap,
         "token_stats": q_token_stats,
+        "token_count_bpe": q_token_count_bpe,
         "stopword_ratio": q_stopword_ratio,
         "embedding_topk": q_embedding_topk,
         "lang_id": q_lang_id,
@@ -1041,6 +1054,13 @@ def oracle_sql() -> dict[str, str]:
                      1000 - abs(avg_token_len_milli - 5000) // 10
                           - digit_permille))::BIGINT AS quality_permille
             FROM m
+        """,
+        "token_count_bpe": r"""
+            SELECT doc_id,
+                   len(regexp_extract_all(text,
+                       '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]'))::BIGINT
+                     AS n_subtokens
+            FROM documents
         """,
         "stopword_ratio": f"""
             WITH t AS (
