@@ -52,6 +52,11 @@ def main() -> None:
     res.clusters.write.mode("overwrite").parquet(f"{args.output}/clusters")
     res.pairs.write.mode("overwrite").parquet(f"{args.output}/pairs")
     res.spam_kills.write.mode("overwrite").parquet(f"{args.output}/spam_kills")
+    # per-run counters (A7 analog), filled for free by the writes above
+    import json
+
+    print("observed_metrics:",
+          json.dumps(res.metrics["observed_metrics"]()))
     spark.stop()
 
 
