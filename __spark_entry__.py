@@ -275,6 +275,20 @@ def q_stopword_ratio(spark, sf):
     )
 
 
+def q_code_normalize(spark, sf):
+    # code-payload normalizer chain (P5 analog for source code:
+    # comment stripping + whitespace collapse, JVM regex, SQL twin)
+    from simhash_text_dedup_spark.functions.code_norm import normalize_code
+
+    d = _docs(spark, sf)
+    norm = normalize_code(F.col("text"))
+    return d.select(
+        "doc_id",
+        F.length(norm).cast("bigint").alias("norm_len"),
+        (norm != F.col("text")).alias("changed"),
+    )
+
+
 def q_token_count_bpe(spark, sf):
     # BPE-style subword pre-tokenization count (letter runs / digit runs
     # / single punctuation — the GPT-2 pretokenizer family restricted to
@@ -712,6 +726,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "activity_bitmap": q_activity_bitmap,
         "token_stats": q_token_stats,
         "token_count_bpe": q_token_count_bpe,
+        "code_normalize": q_code_normalize,
         "stopword_ratio": q_stopword_ratio,
         "embedding_topk": q_embedding_topk,
         "lang_id": q_lang_id,
@@ -735,6 +750,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "incremental_round": q_incremental_round,
         "simhash_clusters_greedy": q_simhash_clusters_greedy,
     }
+
+
+def _code_normalize_sql() -> str:
+    from simhash_text_dedup_spark.functions.code_norm import normalize_code_sql
+
+    n = normalize_code_sql("text")
+    return (
+        f"SELECT doc_id, length({n})::BIGINT AS norm_len, "
+        f"({n} != text) AS changed FROM documents"
+    )
 
 
 def _lang_id_sql() -> str:
@@ -1055,6 +1080,7 @@ def oracle_sql() -> dict[str, str]:
                           - digit_permille))::BIGINT AS quality_permille
             FROM m
         """,
+        "code_normalize": _code_normalize_sql(),
         "token_count_bpe": r"""
             SELECT doc_id,
                    len(regexp_extract_all(text,

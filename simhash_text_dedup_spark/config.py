@@ -21,6 +21,10 @@ class DedupConfig:
     # reference computed it in an external C++ binary not in the repo).
     shingle_width: int = 3          # overlapping token shingles
     fingerprint_bits: int = 64
+    # fingerprint over comment-stripped / whitespace-collapsed content
+    # (functions/code_norm.py — the code analog of the reference's URL
+    # normalizer chain). content_sha256 stays over the RAW bytes.
+    normalize_code: bool = False
 
     # --- Pigeonhole banding: complete for Hamming <= hamming_k when
     # n_bands > hamming_k (4 bands of 16 bits catch every pair with <= 3

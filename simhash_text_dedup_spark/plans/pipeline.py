@@ -59,12 +59,22 @@ def prepare_documents(docs: DataFrame) -> DataFrame:
 
 
 def fingerprint_stage(prepared: DataFrame, cfg: DedupConfig) -> DataFrame:
-    """doc_id, fingerprint, score, is_new, content_sha256."""
+    """doc_id, fingerprint, score, is_new, content_sha256.
+
+    With cfg.normalize_code the fingerprint is computed over
+    comment-stripped / whitespace-collapsed content (JVM-side regex
+    chain, functions/code_norm.py) while content_sha256 keeps the RAW
+    byte invariant."""
     from simhash_text_dedup_spark.functions.simhash import simhash_col
 
+    content = F.col("content")
+    if cfg.normalize_code:
+        from simhash_text_dedup_spark.functions.code_norm import normalize_code
+
+        content = normalize_code(content)
     return prepared.select(
         "doc_id",
-        simhash_col(F.col("content"), cfg.shingle_width).alias("fingerprint"),
+        simhash_col(content, cfg.shingle_width).alias("fingerprint"),
         "score",
         "is_new",
         "content_sha256",

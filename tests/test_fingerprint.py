@@ -69,3 +69,33 @@ def test_band_layout_msb_first():
     # negative int64 (MSB set) must work identically
     neg = fp - (1 << 64)
     assert band_keys(neg) == band_keys(fp)
+
+
+def test_normalize_code_folds_comment_variants(spark):
+    """Two sources differing only in comments/whitespace fingerprint
+    IDENTICALLY with cfg.normalize_code, and differently without."""
+    from pyspark.sql import functions as F
+
+    from simhash_text_dedup_spark.config import DedupConfig
+    from simhash_text_dedup_spark.plans.pipeline import (
+        fingerprint_stage,
+        prepare_documents,
+    )
+
+    a = "int load(int x) {\n    return x + 1;\n}\nint y = load(2);\n"
+    b = ("/* rewritten\n * header */\nint load(int x) {  // entry\n"
+         "\treturn x + 1;\n}\n\n\nint y = load(2);  # note\n")
+    docs = spark.createDataFrame(
+        [("r", "a.c", "c1", "c", a), ("r", "b.c", "c2", "c", b)],
+        "repo string, path string, commit string, lang string, content string",
+    )
+    prep = prepare_documents(docs)
+    raw = fingerprint_stage(prep, DedupConfig()).select("fingerprint").collect()
+    norm = fingerprint_stage(
+        prep, DedupConfig(normalize_code=True)
+    ).select("fingerprint").collect()
+    assert norm[0].fingerprint == norm[1].fingerprint
+    assert raw[0].fingerprint != raw[1].fingerprint
+    # sha256 invariant stays over the RAW bytes (distinct)
+    shas = prep.select("content_sha256").distinct().count()
+    assert shas == 2
