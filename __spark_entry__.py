@@ -289,14 +289,19 @@ def q_code_normalize(spark, sf):
     )
 
 
+# Shared by the Spark query and the DuckDB oracle; whitespace spelled
+# as regex-level escapes (\t \n \x0b \f \r), which Java regex and RE2
+# interpret identically — their \s shorthands disagree on \x0b
+_BPE_PAT = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9 \t\n\x0b\f\r]"
+
+
 def q_token_count_bpe(spark, sf):
     # BPE-style subword pre-tokenization count (letter runs / digit runs
     # / single punctuation — the GPT-2 pretokenizer family restricted to
     # a dialect Java regex and RE2 agree on)
-    pat = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\\\s]"
     return _docs(spark, sf).select(
         "doc_id",
-        F.size(F.expr(f"regexp_extract_all(text, '{pat}', 0)"))
+        F.size(F.regexp_extract_all(F.col("text"), F.lit(_BPE_PAT), F.lit(0)))
         .cast("bigint").alias("n_subtokens"),
     )
 
@@ -533,16 +538,11 @@ def q_render_formats(spark, sf):
 
 def q_cluster_size_histogram(spark, sf):
     # dedup reporting: cluster-size histogram over the verified
-    # components (A4-style stats on the dedup output; hash-verified via
-    # the same recursive-CTE clustering as cc_clusters)
-    from simhash_text_dedup_spark.config import DedupConfig
-    from simhash_text_dedup_spark.operators.cluster import connected_components
-    from simhash_text_dedup_spark.operators.pairs import near_pairs
-
-    pairs = near_pairs(_surrogate_fps(spark, sf), DedupConfig())
-    cc = connected_components(pairs.select("a_id", "b_id"))
+    # components — aggregates q_cc_clusters' output directly, so the
+    # pair/CC construction lives in exactly one place on each side
     return (
-        cc.groupBy("cluster_id")
+        q_cc_clusters(spark, sf)
+        .groupBy("cluster_id")
         .agg(F.count(F.lit(1)).alias("sz"))
         .groupBy(F.col("sz").alias("cluster_size"))
         .agg(F.count(F.lit(1)).alias("n_clusters"))
@@ -805,6 +805,27 @@ _SURROGATE_PAIRS_CTE = """
 """
 
 
+# DuckDB twin of connected_components over the surrogate pair set
+# (min-label reachability); shared by cc_clusters and
+# cluster_size_histogram so the clustering convention lives once
+_SURROGATE_CC_CTE = """
+  edges AS (
+    SELECT a_id AS a, b_id AS b FROM verified
+    UNION ALL SELECT b_id, a_id FROM verified
+  ),
+  verts AS (SELECT DISTINCT a AS id FROM edges),
+  reach(id, label) AS (
+    SELECT id, id FROM verts
+    UNION
+    SELECT e.a, r.label FROM edges e JOIN reach r ON e.b = r.id
+  ),
+  clusters AS (
+    SELECT id AS doc_id, min(label) AS cluster_id
+    FROM reach GROUP BY id
+  )
+"""
+
+
 def oracle_sql() -> dict[str, str]:
     _LANG_ID_SQL = _lang_id_sql()
     stop_list = "['the','of','and','to','in','is','for','that','with','a']"
@@ -814,21 +835,7 @@ def oracle_sql() -> dict[str, str]:
             SELECT a_id, b_id, hamming FROM verified
         """,
         "cluster_size_histogram": f"""
-            WITH RECURSIVE {_SURROGATE_PAIRS_CTE},
-            edges AS (
-              SELECT a_id AS a, b_id AS b FROM verified
-              UNION ALL SELECT b_id, a_id FROM verified
-            ),
-            verts AS (SELECT DISTINCT a AS id FROM edges),
-            reach(id, label) AS (
-              SELECT id, id FROM verts
-              UNION
-              SELECT e.a, r.label FROM edges e JOIN reach r ON e.b = r.id
-            ),
-            clusters AS (
-              SELECT id AS doc_id, min(label) AS cluster_id
-              FROM reach GROUP BY id
-            ),
+            WITH RECURSIVE {_SURROGATE_PAIRS_CTE}, {_SURROGATE_CC_CTE},
             sizes AS (
               SELECT cluster_id, count(*) AS sz FROM clusters GROUP BY cluster_id
             )
@@ -925,19 +932,8 @@ def oracle_sql() -> dict[str, str]:
             SELECT entity_id, val FROM source
         """,
         "cc_clusters": f"""
-            WITH RECURSIVE {_SURROGATE_PAIRS_CTE},
-            edges AS (
-              SELECT a_id AS a, b_id AS b FROM verified
-              UNION ALL SELECT b_id, a_id FROM verified
-            ),
-            verts AS (SELECT DISTINCT a AS id FROM edges),
-            reach(id, label) AS (
-              SELECT id, id FROM verts
-              UNION
-              SELECT e.a, r.label FROM edges e JOIN reach r ON e.b = r.id
-            )
-            SELECT id AS doc_id, min(label) AS cluster_id
-            FROM reach GROUP BY id
+            WITH RECURSIVE {_SURROGATE_PAIRS_CTE}, {_SURROGATE_CC_CTE}
+            SELECT doc_id, cluster_id FROM clusters
         """,
         "scan_filter_project": """
             SELECT doc_id, source, n_chars FROM documents WHERE lang = 'en'
@@ -1081,10 +1077,10 @@ def oracle_sql() -> dict[str, str]:
             FROM m
         """,
         "code_normalize": _code_normalize_sql(),
-        "token_count_bpe": r"""
+        "token_count_bpe": f"""
             SELECT doc_id,
                    len(regexp_extract_all(text,
-                       '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]'))::BIGINT
+                       '{_BPE_PAT}'))::BIGINT
                      AS n_subtokens
             FROM documents
         """,

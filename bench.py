@@ -41,7 +41,7 @@ def ensure_corpus(n_docs: int) -> str:
     return marker
 
 
-def _session_warmup(spark, corpus: str, cores: int) -> None:
+def _session_warmup(spark, corpus: str, cores: int) -> dict:
     """Bring a fresh session to steady state before measuring.
 
     A brand-new JVM's first heavy run is 3-6x slower than its second on

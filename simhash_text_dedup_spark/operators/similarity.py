@@ -203,8 +203,19 @@ def ivf_topk(
     sample_df = c
     if sample_mod > 1:
         sample_df = c.filter(F.pmod(F.xxhash64("vec_id"), F.lit(sample_mod)) == 0)
+    # hash-ordered cap: deterministic AND unbiased (a bare limit() takes
+    # a partition-order prefix — on a corpus clustered by topic/time the
+    # centroids would all train on one region). orderBy().limit()
+    # compiles to TakeOrderedAndProject: per-partition top-cap + driver
+    # merge, no full sort shuffle.
     sample = np.array(
-        [row.v for row in sample_df.limit(sample_cap).collect()], dtype=np.float64
+        [
+            row.v
+            for row in sample_df.orderBy(F.xxhash64("vec_id"), "vec_id")
+            .limit(sample_cap)
+            .collect()
+        ],
+        dtype=np.float64,
     )
     cent = _train_centroids(sample, n_lists, seed)
 
