@@ -115,14 +115,15 @@ def main_default() -> None:
     # dedup throughput on the synthetic code corpus (the headline metric)
     corpus = ensure_corpus(BENCH_DOCS)
     warm_run = _session_warmup(spark, corpus, cpus)
-    # The host's effective DRAM bandwidth drifts in minutes-scale phases
-    # (only the UDF-heavy dedup stage degrades; SQL queries don't — see
-    # BENCH/BASELINE.md). Capability = the best warmed run, so sample
-    # until either 4 measured runs or a 3-minute budget, min over ALL
-    # samples incl. the (already warm-protocol'd) warm pass.
+    # The UDF-heavy dedup stage speeds up monotonically over the first
+    # MINUTES of a process (measured 54 -> 60 -> 25 -> 13 -> 9 s on
+    # identical runs: THP hugepage collapse + deep JIT on a DRAM-bound
+    # stage; SQL queries hold steady throughout — see BENCH/BASELINE.md).
+    # Capability = the best warmed run: sample until 6 measured runs or
+    # a 4-minute budget, min over ALL samples incl. the warm pass.
     samples = [warm_run]
-    t_budget = time.time() + 180
-    while len(samples) < 5 and time.time() < t_budget:
+    t_budget = time.time() + 240
+    while len(samples) < 7 and time.time() < t_budget:
         samples.append(run_dedup_bench(spark, corpus, shuffle_partitions=cpus * 2))
     dd = min(samples, key=lambda r: r["sec"])
     timings["dedup_pipeline"] = dd["sec"]
