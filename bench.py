@@ -28,6 +28,14 @@ import time
 BENCH_DOCS = int(os.environ.get("SPARK_GRAFT_BENCH_DOCS", "300000"))
 CORPUS_DIR = f"/tmp/simhash_bench_corpus_v5_{BENCH_DOCS}"
 
+# Right-sized heap for bench sessions: this VM zeroes fresh pages at
+# ~0.3-1 GB/s, and G1 under a 48g ceiling keeps growing into cold pages
+# for MINUTES (measured first-run 54-76s, steady only after 4-5 runs);
+# with a 12-16g ceiling G1 reuses regions instead (measured 22s first
+# run, 8.6s steady on the same corpus in the same host period). The
+# pipeline needs ~2-4g at these scales. Overridable via SPARK_DRIVER_MEM.
+os.environ.setdefault("SPARK_DRIVER_MEM", "16g")
+
 
 def ensure_corpus(n_docs: int) -> str:
     """Deterministic synthetic source-code corpus, generated once.
