@@ -1,0 +1,95 @@
+#!/usr/bin/env python
+"""Run the scaling protocol only when the box can express it.
+
+This VM's 2->8 parallel-speedup ceiling is time-varying: a bare
+multiprocessing-pool kernel control (no Spark, no JVM) measured
+0.90/core in one window and 0.667 in another on the same day
+(BENCH/BASELINE.md "isolation").  Measuring the pipeline's scaling
+while the control reads 0.67 measures the host, not the job — so this
+wrapper polls the 60-second control and fires `bench.py --scaling`
+only when the control clears `--control-threshold` (default 0.82).
+
+    python BENCH/conditional_scaling.py --attempts 4 --sleep 600 \
+        --out BENCH/scaling_retry.json
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import subprocess
+import sys
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+
+def kernel_control(n_docs: int = 24000) -> float:
+    """Bare-pool 2->8 kernel scaling efficiency, best-of-2 per level."""
+    from multiprocessing import Pool
+
+    from simhash_text_dedup_spark.sources.corpus import (
+        CorpusSpec,
+        generate_corpus,
+    )
+
+    docs_pdf, _ = generate_corpus(CorpusSpec(n_docs=n_docs, seed=3))
+    texts = [t.encode() for t in docs_pdf.content.tolist()]
+    chunk = max(1, len(texts) // 32)
+    chunks = [texts[i:i + chunk] for i in range(0, len(texts), chunk)]
+
+    results: dict[int, list[float]] = {}
+    for procs in (2, 8, 2, 8):
+        with Pool(procs) as p:
+            p.map(_work, chunks[:4])  # warm workers
+            t0 = time.time()
+            p.map(_work, chunks)
+            results.setdefault(procs, []).append(time.time() - t0)
+    return (min(results[2]) / min(results[8])) / 4
+
+
+def _work(batch):
+    from simhash_text_dedup_spark.fingerprint_core import simhash_batch
+
+    return simhash_batch(batch, width=3)[0]
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--attempts", type=int, default=4)
+    ap.add_argument("--sleep", type=int, default=600)
+    ap.add_argument("--control-threshold", type=float, default=0.82)
+    ap.add_argument("--out", default="BENCH/scaling_retry.json")
+    args = ap.parse_args()
+
+    for attempt in range(args.attempts):
+        eff = kernel_control()
+        print(f"[attempt {attempt}] kernel control 2->8: {eff:.3f}", flush=True)
+        if eff >= args.control_threshold:
+            env = {**os.environ,
+                   "SPARK_GRAFT_BENCH_DOCS": os.environ.get(
+                       "SPARK_GRAFT_BENCH_DOCS", "1000000"),
+                   "SPARK_GRAFT_SCALING_REPS": os.environ.get(
+                       "SPARK_GRAFT_SCALING_REPS", "3")}
+            res = subprocess.run(
+                [sys.executable, os.path.join(REPO, "bench.py"), "--scaling"],
+                capture_output=True, text=True, env=env, cwd=REPO,
+            )
+            line = res.stdout.strip().splitlines()[-1] if res.stdout.strip() else ""
+            if line:
+                payload = json.loads(line)
+                payload["kernel_control_at_launch"] = round(eff, 3)
+                with open(os.path.join(REPO, args.out), "w") as f:
+                    json.dump(payload, f, indent=1)
+                print("scaling:", line, flush=True)
+            return
+        if attempt < args.attempts - 1:
+            time.sleep(args.sleep)
+    print("box never cleared the control threshold; no scaling run fired",
+          flush=True)
+
+
+if __name__ == "__main__":
+    main()
