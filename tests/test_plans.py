@@ -81,6 +81,25 @@ def test_quota_topk_broadcasts_counts(spark):
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
 
 
+def test_quota_topk_no_two_partition_shuffle(spark):
+    """The round-2 scale-killer: ranking each side with
+    Window.partitionBy(is_old) shuffled the ENTIRE table into at most
+    two tasks.  The fixed plan must (a) never hash-exchange on the
+    2-cardinality is_old key and (b) reduce each side with
+    TakeOrderedAndProject (per-partition top-k + driver merge — the
+    Spark analog of TotalValueSort.java's sampled range partitioning)."""
+    from simhash_text_dedup_spark.operators.topk import quota_topk
+
+    df = spark.createDataFrame(
+        [(i, float(i), i % 2 == 0) for i in range(100)],
+        "doc_id long, score double, is_old boolean",
+    )
+    plan = _plan(quota_topk(df, k=10))
+    assert "TakeOrderedAndProject" in plan, plan
+    assert "hashpartitioning(is_old" not in plan, plan
+    assert "hashpartitioning(NOT is_old" not in plan, plan
+
+
 def test_fingerprint_stage_single_python_stage(spark):
     """Exactly ONE Arrow/pandas-UDF evaluation in the fingerprint plan —
     utf-8 encode happens JVM-side, everything downstream is columnar."""
