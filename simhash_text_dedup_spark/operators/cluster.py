@@ -107,16 +107,29 @@ def connected_components(
         .localCheckpoint(eager=False)
     )
 
+    from pyspark.sql import Observation
+
     changed = -1  # "never measured" (max_iter <= 0)
     for _ in range(max_iter):
-        # one-hop propagation along edges
+        # one-hop propagation along edges; the PREVIOUS label rides along
+        # as old_label so convergence is measured by a free observe()
+        # on the same action that materializes the iteration — no
+        # separate new-vs-old compare join per iteration (round-2
+        # VERDICT #8: halve the work per iteration)
         msgs = e.join(labels, e.b_id == labels.doc_id).select(
-            e.a_id.alias("doc_id"), "label"
+            e.a_id.alias("doc_id"), "label",
+            F.lit(None).cast("long").alias("old_label"),
         )
         hop = (
-            labels.unionByName(msgs)
+            labels.withColumn("old_label", F.col("label"))
+            .unionByName(msgs)
             .groupBy("doc_id")
-            .agg(F.min("label").alias("label"))
+            .agg(
+                F.min("label").alias("label"),
+                # every vertex has exactly one non-null old_label (its
+                # row in `labels`); msgs rows contribute nulls
+                F.max("old_label").alias("old_label"),
+            )
         )
         # pointer jumping: follow label -> label-of-label (every label is
         # itself a vertex), giving O(log diameter) convergence on chains
@@ -127,19 +140,26 @@ def connected_components(
             hop.join(parents, "label", "left")
             .select(
                 "doc_id",
+                "old_label",
                 F.least(
                     F.col("label"), F.coalesce(F.col("parent"), F.col("label"))
                 ).alias("label"),
             )
             .localCheckpoint(eager=False)
         )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "doc_id")
-            .filter(F.col("n.label") != F.col("o.label"))
-            .count()
-        )
-        labels = new_labels
+        obs = Observation()
+        # observe ON TOP of the checkpoint cut — a CollectMetrics node
+        # below localCheckpoint is buried in the RDD lineage and never
+        # reports to the Observation
+        new_labels.observe(
+            obs,
+            F.coalesce(
+                F.sum((F.col("label") != F.col("old_label")).cast("long")),
+                F.lit(0),
+            ).alias("changed"),
+        ).count()
+        changed = obs.get["changed"]
+        labels = new_labels.drop("old_label")
         if changed == 0:
             break
     else:

@@ -57,6 +57,7 @@ from simhash_text_dedup_spark.plans.pipeline import (
     Checkpointer,
     fingerprint_stage,
     prepare_documents,
+    spread_input,
 )
 
 
@@ -147,9 +148,7 @@ def run_incremental(
     """
     ck = Checkpointer(spark, checkpoint_dir, resume)
 
-    parallelism = spark.sparkContext.defaultParallelism
-    if new_docs.rdd.getNumPartitions() < parallelism:
-        new_docs = new_docs.repartition(parallelism)
+    new_docs = spread_input(new_docs, spark.sparkContext.defaultParallelism)
 
     prepared = prepare_documents(new_docs).withColumn(
         "entity_id", F.xxhash64("repo", "path")

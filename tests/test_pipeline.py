@@ -171,3 +171,37 @@ def test_large_corpus_parity(spark):
     assert found <= golden.pairs, "pipeline emitted a non-golden pair"
     # exact cluster-assignment parity
     assert got_clusters == golden.clusters
+
+
+def test_observation_private_handle_canary():
+    """Drift canary for the A7 free counters (round-2 VERDICT #2): the
+    non-blocking readiness probe relies on pyspark Observation's private
+    `_jo` handle.  If a pyspark upgrade drops it, fail HERE loudly —
+    Checkpointer itself degrades to a one-time RuntimeWarning."""
+    from pyspark.sql import Observation
+
+    assert hasattr(Observation("canary"), "_jo"), (
+        "pyspark Observation no longer exposes '_jo'; port "
+        "Checkpointer.observed_metrics to a QueryExecutionListener"
+    )
+
+
+def test_checkpointer_warns_when_probe_unavailable(spark, monkeypatch):
+    """When the private probe is gone, Checkpointer must warn ONCE at
+    construction and observed_metrics must return {} (never hang on a
+    blocking Observation.get)."""
+    import pyspark.sql
+
+    from simhash_text_dedup_spark.plans.pipeline import Checkpointer
+
+    class _FakeObservation:
+        def __init__(self, name=None):
+            self._name = name
+
+    monkeypatch.setattr(pyspark.sql, "Observation", _FakeObservation)
+    with pytest.warns(RuntimeWarning, match="free per-stage counters"):
+        ck = Checkpointer(spark, None)
+    # the disabled path must short-circuit BEFORE touching any
+    # registered observation (this sentinel would raise if probed)
+    ck.observations["probe_stage"] = object()
+    assert ck.observed_metrics() == {}
