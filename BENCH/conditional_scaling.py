@@ -77,14 +77,31 @@ def main() -> None:
                 [sys.executable, os.path.join(REPO, "bench.py"), "--scaling"],
                 capture_output=True, text=True, env=env, cwd=REPO,
             )
+            if res.returncode != 0:
+                # a failed bench run is NOT scaling evidence; log and
+                # let the next attempt try again
+                print(f"[attempt {attempt}] bench.py failed "
+                      f"(rc={res.returncode}):\n{res.stderr[-2000:]}",
+                      flush=True)
+                if attempt < args.attempts - 1:
+                    time.sleep(args.sleep)
+                continue
             line = res.stdout.strip().splitlines()[-1] if res.stdout.strip() else ""
-            if line:
-                payload = json.loads(line)
+            try:
+                payload = json.loads(line) if line else None
+            except json.JSONDecodeError:
+                print(f"[attempt {attempt}] unparseable bench output: "
+                      f"{line[:200]}", flush=True)
+                payload = None
+            if payload is not None:
                 payload["kernel_control_at_launch"] = round(eff, 3)
                 with open(os.path.join(REPO, args.out), "w") as f:
                     json.dump(payload, f, indent=1)
                 print("scaling:", line, flush=True)
-            return
+                return
+            if attempt < args.attempts - 1:
+                time.sleep(args.sleep)
+            continue
         if attempt < args.attempts - 1:
             time.sleep(args.sleep)
     print("box never cleared the control threshold; no scaling run fired",

@@ -53,6 +53,12 @@ class DedupConfig:
     band_bucket_cap: int = 20000
     hot_bucket_mode: str = "salt"   # 'salt' | 'drop'
     salt_partitions: int = 16
+    # drop mode collects the hot (band, key) tail to the driver and
+    # inlines it into the first-COLD-match predicate; an adversarial
+    # flood could blow that tail up, so past this many keys the
+    # collect is abandoned (plain first-match predicate + warning —
+    # slightly lossier, but driver memory and plan size stay bounded).
+    hot_drop_key_cap: int = 2000
 
     # --- MinHash / LSH borderline path (north_star extension).
     enable_minhash: bool = False

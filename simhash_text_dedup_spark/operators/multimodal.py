@@ -80,6 +80,11 @@ def decode_ppm(payload: bytes) -> np.ndarray:
     w, h, maxval = parts
     if maxval != 255:
         raise ValueError("only maxval 255 supported")
+    if w <= 0 or h <= 0:
+        # degenerate headers would make image_features mean over an
+        # empty slice (NaN features + numpy RuntimeWarning); route them
+        # to the deterministic fallback like other undecodable bodies
+        raise ValueError(f"degenerate PPM dimensions {w}x{h}")
     raster = np.frombuffer(payload, dtype=np.uint8, count=w * h * 3, offset=i)
     return raster.reshape(h, w, 3)
 

@@ -206,10 +206,29 @@ def near_pairs(distinct_fps: DataFrame, cfg: DedupConfig) -> DataFrame:
     if cfg.hot_bucket_mode == "drop":
         # the hot set is a histogram tail (tiny by construction); one
         # bounded driver collect parameterizes the first-COLD-match
-        # predicate so hot earlier bands don't suppress cold emissions
-        hkb: dict[int, list[int]] = {}
-        for r in hot.collect():
-            hkb.setdefault(r["band"], []).append(r["band_key"])
+        # predicate so hot earlier bands don't suppress cold emissions.
+        # The collect is CAPPED: an adversarial flood surviving the spam
+        # pass must not bloat driver memory / the Catalyst plan with
+        # unbounded isin literals (round-2 ADVICE).
+        hot_rows = hot.limit(cfg.hot_drop_key_cap + 1).collect()
+        hkb: dict[int, list[int]] | None
+        if len(hot_rows) > cfg.hot_drop_key_cap:
+            import warnings
+
+            warnings.warn(
+                f"near_pairs(drop): > {cfg.hot_drop_key_cap} hot band "
+                "buckets; falling back to the plain first-match "
+                "predicate (pairs whose earlier matching band is hot "
+                "are suppressed — extra recall loss). Consider "
+                "hot_bucket_mode='salt' or a higher band_bucket_cap.",
+                RuntimeWarning,
+                stacklevel=2,
+            )
+            hkb = None
+        else:
+            hkb = {}
+            for r in hot_rows:
+                hkb.setdefault(r["band"], []).append(r["band_key"])
         return _verify(left.join(right, ["band", "band_key"]), cfg, hkb)
 
     pairs = _verify(left.join(right, ["band", "band_key"]), cfg)

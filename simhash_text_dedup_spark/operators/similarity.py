@@ -217,6 +217,12 @@ def ivf_topk(
         ],
         dtype=np.float64,
     )
+    if len(sample) == 0:
+        raise ValueError(
+            "ivf_topk: centroid training sample is empty (empty corpus, "
+            f"or sample_mod={sample_mod} filtered out every row); use a "
+            "smaller sample_mod"
+        )
     cent = _train_centroids(sample, n_lists, seed)
 
     assign1 = _list_assign_udf(cent, 1)

@@ -44,3 +44,43 @@ def test_greedy_keeps_more_than_cc_on_chains(spark):
     n_keep_cc = cc.clusters.filter("action = 'keep'").count()
     n_keep_gr = gr.clusters.filter("action = 'keep'").count()
     assert n_keep_gr >= n_keep_cc
+
+
+def test_greedy_warns_on_mega_component(spark):
+    """A pathological component past the pair threshold must surface a
+    RuntimeWarning (its sequential walk runs in one task)."""
+    from simhash_text_dedup_spark.operators.selection import (
+        assign_actions_greedy,
+    )
+
+    n = 30
+    meta = spark.createDataFrame(
+        [(i, 0, float(i), True) for i in range(n)],
+        "doc_id long, cluster_id long, score double, is_new boolean",
+    )
+    edges = spark.createDataFrame(
+        [(a, b) for a in range(n) for b in range(a + 1, n)],
+        "a_id long, b_id long",
+    )
+    with pytest.warns(RuntimeWarning, match="single task"):
+        out = assign_actions_greedy(meta, edges, warn_pairs_per_component=100)
+    # semantics unchanged by the check: clique -> one keeper
+    assert out.filter("action = 'keep'").count() == 1
+
+
+def test_greedy_check_disabled_stays_silent(spark):
+    import warnings as _w
+
+    from simhash_text_dedup_spark.operators.selection import (
+        assign_actions_greedy,
+    )
+
+    meta = spark.createDataFrame(
+        [(0, 0, 1.0, True), (1, 0, 0.5, True)],
+        "doc_id long, cluster_id long, score double, is_new boolean",
+    )
+    edges = spark.createDataFrame([(0, 1)], "a_id long, b_id long")
+    with _w.catch_warnings():
+        _w.simplefilter("error", RuntimeWarning)
+        out = assign_actions_greedy(meta, edges, warn_pairs_per_component=None)
+        assert out.count() == 2

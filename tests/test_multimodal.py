@@ -126,3 +126,15 @@ def test_frame_sampling_denser_and_sparser_rates(spark):
     sparse = sample_frames(media, every_ms=3000).collect()
     assert len(dense) == 3   # 6 instants dedup to the 3 distinct frames
     assert len(sparse) == 1  # one instant -> first frame only
+
+
+def test_degenerate_ppm_dimensions_fall_back_not_nan():
+    """w=0 / h=0 headers must raise in decode_ppm (routing the payload
+    to the deterministic digest fallback) instead of producing NaN
+    features from a mean over an empty slice."""
+    from simhash_text_dedup_spark.operators.multimodal import decode_ppm
+
+    with pytest.raises(ValueError, match="degenerate"):
+        decode_ppm(b"P6\n0 4\n255\n")
+    with pytest.raises(ValueError, match="degenerate"):
+        decode_ppm(b"P6\n4 0\n255\n")

@@ -116,3 +116,16 @@ def test_ivf_topk_deterministic(spark):
     b = sorted((r.query_id, r.neighbor_id, r.rank)
                for r in ivf_topk(corpus, queries, k=5, n_lists=8, n_probe=8).collect())
     assert a == b
+
+
+def test_ivf_empty_training_sample_raises_clearly(spark):
+    import pytest
+
+    from simhash_text_dedup_spark.operators.similarity import ivf_topk
+
+    empty = spark.createDataFrame([], "vec_id long, embedding array<double>")
+    q = spark.createDataFrame(
+        [(1, [1.0, 0.0])], "query_id long, embedding array<double>"
+    )
+    with pytest.raises(ValueError, match="training sample is empty"):
+        ivf_topk(empty, q, k=3)

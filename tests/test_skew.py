@@ -103,3 +103,22 @@ def test_salt_matches_unsalted_on_normal_data(spark):
     b = {(r.a_id, r.b_id) for r in near_pairs(
         fps, DedupConfig(hot_bucket_mode="drop")).collect()}
     assert a == b and len(a) >= 190
+
+
+def test_drop_mode_key_cap_falls_back_with_warning(spark, hot_bucket_fps):
+    """Past hot_drop_key_cap the driver collect is abandoned: plain
+    first-match predicate + RuntimeWarning, bounded plan size."""
+    cfg = DedupConfig(
+        band_bucket_cap=10, hot_bucket_mode="drop", hot_drop_key_cap=0
+    )
+    with pytest.warns(RuntimeWarning, match="hot band buckets"):
+        capped = near_pairs(hot_bucket_fps, cfg).collect()
+    # fallback is at most as lossy as the uncapped predicate version,
+    # and still emits every pair that FIRST matches on a cold band
+    uncapped = near_pairs(
+        hot_bucket_fps,
+        DedupConfig(band_bucket_cap=10, hot_bucket_mode="drop"),
+    ).collect()
+    assert {(r.a_id, r.b_id) for r in capped} <= {
+        (r.a_id, r.b_id) for r in uncapped
+    }
