@@ -576,6 +576,313 @@ def q_greedy_actions(spark, sf):
     return assign_actions_greedy(meta, pairs).select("doc_id", "action")
 
 
+def q_incremental_round_lists(spark, sf):
+    """§3.1-§3.2 hash-verified (round-2 VERDICT #3): the PRODUCTION
+    incremental round-output assignment — unload (unchanged re-crawls,
+    DeDupMapper.java:147-153), stale-base-row exclusion (:156-158
+    finger=newfinger), candidate generation (new x new once, new x old
+    always), and the cc-mode delete/modify loser split on the LOADED
+    flag (SelectLogicReducer.java:56-104) — over surrogate fingerprints.
+
+    Planted families on top of _surrogate_fps (base = even doc_ids are
+    the loaded corpus; odd + mutants are the new batch):
+      +30M (base %20==4):  unchanged re-crawl  -> unload list
+      +40M (base %20==14): changed re-crawl of a loaded entity (1-bit
+                           flip; its own stale base row must NOT pair)
+    """
+    from simhash_text_dedup_spark.config import DedupConfig
+    from simhash_text_dedup_spark.plans.incremental import (
+        candidate_pairs,
+        loser_lists_cc,
+        unload_list,
+    )
+
+    fps = _surrogate_fps(spark, sf)
+    base_rows = fps.filter(F.col("doc_id") < 10000000)
+    plant_unchanged = base_rows.filter(F.col("doc_id") % 20 == 4).select(
+        (F.col("doc_id") + 30000000).alias("doc_id"), "fingerprint"
+    )
+    plant_changed = base_rows.filter(F.col("doc_id") % 20 == 14).select(
+        (F.col("doc_id") + 40000000).alias("doc_id"),
+        F.expr(
+            "fingerprint ^ shiftleft(cast(1 as bigint), cast(doc_id % 60 as int))"
+        ).alias("fingerprint"),
+    )
+    allfps = fps.unionByName(plant_unchanged).unionByName(plant_changed)
+
+    entity = (
+        F.when(F.col("doc_id") >= 40000000, F.col("doc_id") - 40000000)
+        .when(F.col("doc_id") >= 30000000, F.col("doc_id") - 30000000)
+        .otherwise(F.col("doc_id"))
+    )
+    t = allfps.select(
+        "doc_id",
+        "fingerprint",
+        entity.alias("entity_id"),
+        F.col("fingerprint").bitwiseAND(F.lit(1048575)).cast("double").alias("score"),
+        ((F.col("doc_id") < 10000000) & (F.col("doc_id") % 2 == 0)).alias("is_base"),
+    )
+    base_fps = t.filter("is_base").select("doc_id", "entity_id", "fingerprint", "score")
+    new_fps = t.filter("NOT is_base").select("doc_id", "entity_id", "fingerprint", "score")
+
+    unload = unload_list(new_fps, base_fps)
+
+    loaded = base_fps.select("entity_id").distinct().withColumn(
+        "is_loaded", F.lit(True)
+    )
+    new_side = (
+        new_fps.join(loaded, "entity_id", "left")
+        .select(
+            "doc_id", "fingerprint", F.lit(True).alias("is_new"),
+            F.coalesce("is_loaded", F.lit(False)).alias("is_loaded"),
+            "score",
+        )
+    )
+    base_live = base_fps.join(
+        new_fps.select("entity_id").distinct(), "entity_id", "left_anti"
+    )
+    all_side = new_side.unionByName(
+        base_live.select(
+            "doc_id", "fingerprint", F.lit(False).alias("is_new"),
+            F.lit(True).alias("is_loaded"), "score",
+        )
+    )
+    pairs = candidate_pairs(new_side, all_side, DedupConfig())
+    delete_list, modify_list = loser_lists_cc(pairs)
+    return (
+        delete_list.select("doc_id", F.lit("delete").alias("list"))
+        .unionByName(modify_list.select("doc_id", F.lit("modify").alias("list")))
+        .unionByName(unload.select("doc_id", F.lit("unload").alias("list")))
+    )
+
+
+# DuckDB twin of q_incremental_round_lists (extends the surrogate fps
+# CTE with the planted re-crawl families and replays the round rules)
+_INCREMENTAL_ROUND_SQL_TAIL = """
+  allfps AS (
+    SELECT doc_id, fp FROM fps
+    UNION ALL
+    SELECT doc_id + 30000000, fp FROM fps
+    WHERE doc_id < 10000000 AND doc_id % 20 = 4
+    UNION ALL
+    SELECT doc_id + 40000000, xor(fp, 1::BIGINT << (doc_id % 60)) FROM fps
+    WHERE doc_id < 10000000 AND doc_id % 20 = 14
+  ),
+  t AS (
+    SELECT doc_id, fp,
+           CASE WHEN doc_id >= 40000000 THEN doc_id - 40000000
+                WHEN doc_id >= 30000000 THEN doc_id - 30000000
+                ELSE doc_id END AS entity_id,
+           (fp & 1048575) AS score,
+           (doc_id < 10000000 AND doc_id % 2 = 0) AS is_base
+    FROM allfps
+  ),
+  bt AS (SELECT * FROM t WHERE is_base),
+  nt AS (SELECT * FROM t WHERE NOT is_base),
+  unload AS (
+    SELECT DISTINCT n.doc_id
+    FROM nt n JOIN bt b ON n.entity_id = b.entity_id AND n.fp = b.fp
+  ),
+  bt_live AS (
+    SELECT * FROM bt
+    WHERE entity_id NOT IN (SELECT entity_id FROM nt)
+  ),
+  sides AS (
+    SELECT doc_id, fp, TRUE AS is_new,
+           entity_id IN (SELECT entity_id FROM bt) AS is_loaded, score
+    FROM nt
+    UNION ALL
+    SELECT doc_id, fp, FALSE, TRUE, score FROM bt_live
+  ),
+  tb AS (
+    SELECT doc_id, fp, is_new, is_loaded, score, b.band,
+           (fp >> (48 - 16 * b.band)) & 65535 AS band_key
+    FROM sides, (VALUES (0), (1), (2), (3)) AS b(band)
+  ),
+  prs AS (
+    SELECT DISTINCT l.doc_id AS a_id, r.doc_id AS b_id,
+           l.score AS a_score, r.score AS b_score,
+           l.is_loaded AS a_loaded, r.is_loaded AS b_loaded
+    FROM tb l JOIN tb r
+      ON l.band = r.band AND l.band_key = r.band_key
+    WHERE l.is_new
+      AND l.doc_id != r.doc_id
+      AND ((NOT r.is_new) OR l.doc_id < r.doc_id)
+      AND bit_count(xor(l.fp, r.fp)) <= 3
+  ),
+  losers AS (
+    SELECT CASE WHEN a_score > b_score
+                  OR (a_score = b_score AND a_id < b_id)
+                THEN b_id ELSE a_id END AS doc_id,
+           CASE WHEN a_score > b_score
+                  OR (a_score = b_score AND a_id < b_id)
+                THEN b_loaded ELSE a_loaded END AS loaded
+    FROM prs
+  )
+  SELECT DISTINCT doc_id, 'delete' AS list FROM losers WHERE NOT loaded
+  UNION ALL
+  SELECT DISTINCT doc_id, 'modify' FROM losers WHERE loaded
+  UNION ALL
+  SELECT doc_id, 'unload' FROM unload
+"""
+
+
+# --- MinHash surrogate family (hash-verified; round-2 VERDICT #2) ----
+# Like _surrogate_fps for the SimHash core: the PRODUCTION MinHash
+# operators (minhash_candidates / minhash_verified_pairs — posexplode
+# band join + signature-Jaccard verify, operators/minhash_pairs.py,
+# banding semantics incload/MemTable.java:154-212) are fingerprint-
+# family-agnostic, so the oracle pins them end-to-end over a signature
+# family both engines compute identically (md5-derived permutation
+# hashes, min per permutation, md5-folded band keys).  The production
+# splitmix64 family itself stays pinned by test_minhash goldens.
+_MH_PERMS = 16   # surrogate-sized: 4 bands x 4 rows
+_MH_BANDS = 4
+_MH_ROWS = _MH_PERMS // _MH_BANDS
+
+
+def _md5big(col):
+    return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("long")
+
+
+def _surrogate_minhash_sigs(spark, sf):
+    """doc_id, sig (array<bigint> 16), bands (array<bigint> 4) — with
+    planted near-duplicates (every doc_id % 10 == 0 reappears with two
+    extra tokens, so its shingle set overlaps heavily)."""
+    d = _docs(spark, sf).select("doc_id", "text")
+    planted = d.filter(F.col("doc_id") % 10 == 0).select(
+        (F.col("doc_id") + 10000000).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" zq xw")).alias("text"),
+    )
+    dd = d.unionByName(planted)
+    toks = F.split(F.col("text"), " ")
+    # same 3-shingle convention as q_ngram_jaccard (already oracle-pinned)
+    sh = F.when(
+        F.size(toks) >= 3,
+        F.transform(
+            F.sequence(F.lit(0), F.size(toks) - 3),
+            lambda i: F.concat_ws(" ", F.slice(toks, i + 1, 3)),
+        ),
+    ).otherwise(F.array(F.concat_ws(" ", toks)))
+    g = dd.select("doc_id", F.array_distinct(sh).alias("grams"))
+    def _perm_min(i: int):
+        # NOTE: the lambda must be single-arg — a two-arg lambda makes
+        # F.transform pass the ELEMENT INDEX as the second argument
+        return F.array_min(
+            F.transform(
+                F.col("grams"),
+                lambda s: _md5big(F.concat(F.lit(f"{i}:"), s)),
+            )
+        )
+
+    sig_cols = [_perm_min(i) for i in range(_MH_PERMS)]
+    sigs = g.select("doc_id", F.array(*sig_cols).alias("sig"))
+    band_cols = []
+    for j in range(_MH_BANDS):
+        parts = [F.lit(f"b{j}:")]
+        for t in range(_MH_ROWS):
+            if t:
+                parts.append(F.lit(","))
+            parts.append(F.col("sig")[j * _MH_ROWS + t].cast("string"))
+        band_cols.append(_md5big(F.concat(*parts)))
+    return sigs.select("doc_id", "sig", F.array(*band_cols).alias("bands"))
+
+
+def q_minhash_band_pairs(spark, sf):
+    # MinHash hash-verified: PRODUCTION banded candidate join +
+    # signature-Jaccard verify over the surrogate signature family;
+    # n_match = matching permutations (est_jaccard * 16, exact in
+    # binary so the value hash is stable)
+    from simhash_text_dedup_spark.config import DedupConfig
+    from simhash_text_dedup_spark.operators.minhash_pairs import (
+        minhash_verified_pairs,
+    )
+
+    cfg = DedupConfig(
+        minhash_perms=_MH_PERMS, minhash_bands=_MH_BANDS,
+        minhash_rows=_MH_ROWS, jaccard_threshold=0.5,
+    )
+    sigs = _surrogate_minhash_sigs(spark, sf)
+    return minhash_verified_pairs(sigs, cfg).select(
+        "a_id", "b_id",
+        (F.col("est_jaccard") * _MH_PERMS).cast("bigint").alias("n_match"),
+    )
+
+
+def _minhash_surrogate_sql() -> str:
+    """DuckDB twin of _surrogate_minhash_sigs + the production banded
+    join / signature verify, generated from the same constants."""
+    def md5big(expr: str) -> str:
+        return "('0x' || substring(md5(" + expr + "), 1, 15))::BIGINT"
+
+    sig_exprs = ",\n                     ".join(
+        "list_min(list_transform(grams, s -> "
+        + md5big("'" + str(i) + ":' || s")
+        + ")) AS s" + str(i)
+        for i in range(_MH_PERMS)
+    )
+    band_exprs = []
+    for j in range(_MH_BANDS):
+        parts = " || ',' || ".join(
+            "s" + str(j * _MH_ROWS + t) + "::VARCHAR"
+            for t in range(_MH_ROWS)
+        )
+        band_exprs.append(
+            md5big("'b" + str(j) + ":' || " + parts) + " AS b" + str(j)
+        )
+    band_select = ",\n                     ".join(band_exprs)
+    band_case = " ".join(
+        f"WHEN {j} THEN b{j}" for j in range(_MH_BANDS - 1)
+    ) + f" ELSE b{_MH_BANDS - 1}"
+    band_values = ", ".join(f"({j})" for j in range(_MH_BANDS))
+    matches = " + ".join(
+        f"CASE WHEN sa.s{i} = sb.s{i} THEN 1 ELSE 0 END"
+        for i in range(_MH_PERMS)
+    )
+    return f"""
+        WITH dd AS (
+          SELECT doc_id, text FROM documents
+          UNION ALL
+          SELECT doc_id + 10000000, text || ' zq xw'
+          FROM documents WHERE doc_id % 10 = 0
+        ),
+        g AS (
+          SELECT doc_id,
+                 list_distinct(CASE
+                   WHEN len(string_split(text, ' ')) >= 3 THEN
+                     list_transform(range(1, len(string_split(text, ' ')) - 1),
+                       i -> array_to_string(string_split(text, ' ')[i:i+2], ' '))
+                   ELSE [text]
+                 END) AS grams
+          FROM dd
+        ),
+        sigs AS (
+          SELECT doc_id, {sig_exprs}
+          FROM g
+        ),
+        withbands AS (
+          SELECT *, {band_select}
+          FROM sigs
+        ),
+        banded AS (
+          SELECT doc_id, v.j AS band_idx,
+                 CASE v.j {band_case} END AS band_key
+          FROM withbands, (VALUES {band_values}) v(j)
+        ),
+        cands AS (
+          SELECT DISTINCT l.doc_id AS a_id, r.doc_id AS b_id
+          FROM banded l JOIN banded r
+            ON l.band_idx = r.band_idx AND l.band_key = r.band_key
+          WHERE l.doc_id < r.doc_id
+        )
+        SELECT c.a_id, c.b_id, ({matches})::BIGINT AS n_match
+        FROM cands c
+        JOIN withbands sa ON sa.doc_id = c.a_id
+        JOIN withbands sb ON sb.doc_id = c.b_id
+        WHERE ({matches}) >= {_MH_PERMS // 2}
+    """
+
+
 # --- dedup-specific (non-SQL-expressible: rows-only driver check) -----
 def q_simhash_fingerprints(spark, sf):
     from simhash_text_dedup_spark.config import DedupConfig
@@ -738,6 +1045,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "greedy_actions": q_greedy_actions,
         "cluster_size_histogram": q_cluster_size_histogram,
         "incremental_pairs": q_incremental_pairs,
+        "incremental_round_lists": q_incremental_round_lists,
+        "minhash_band_pairs": q_minhash_band_pairs,
         "render_formats": q_render_formats,
         "snapshot_merge": q_snapshot_merge,
         "simhash_fingerprints": q_simhash_fingerprints,
@@ -864,6 +1173,10 @@ def oracle_sql() -> dict[str, str]:
               AND ((NOT r.is_new) OR l.doc_id < r.doc_id)
               AND bit_count(xor(l.fp, r.fp)) <= 3
         """,
+        "incremental_round_lists": f"""
+            WITH {_SURROGATE_PAIRS_CTE}, {_INCREMENTAL_ROUND_SQL_TAIL}
+        """,
+        "minhash_band_pairs": _minhash_surrogate_sql(),
         "render_formats": f"""
             WITH {_SURROGATE_PAIRS_CTE}
             SELECT doc_id,

@@ -129,6 +129,50 @@ def candidate_pairs(
     )
 
 
+def unload_list(new_fps: DataFrame, base_fps: DataFrame) -> DataFrame:
+    """Unchanged re-crawls -> unload (DeDupMapper.java:147-153
+    same_finger): a new version whose fingerprint equals its entity's
+    already-loaded fingerprint is not re-indexed; it STILL probes for
+    duplicates (the reference writes the row to both streams).
+    Inputs carry (doc_id, entity_id, fingerprint, ...).
+    """
+    return (
+        new_fps.alias("n")
+        .join(
+            base_fps.alias("o"),
+            (F.col("n.entity_id") == F.col("o.entity_id"))
+            & (F.col("n.fingerprint") == F.col("o.fingerprint")),
+            "left_semi",
+        )
+        .select("doc_id", "entity_id")
+    )
+
+
+def loser_lists_cc(pairs: DataFrame) -> tuple[DataFrame, DataFrame]:
+    """'cc'-mode loser assignment over verified pairs -> (delete_list,
+    modify_list), both distinct (doc_id) frames.
+
+    Per-pair loser = lower score (doc_id tie-break); the loser goes to
+    DELETE when its entity is not yet loaded, MODIFY when it is
+    (SelectLogicMapper.java:39-44 orientation + SelectLogicReducer's
+    split on the lf flag — batch membership does NOT drive the split).
+    Parallel rule: any doc that loses at least one pair is a loser —
+    matches greedy on cliques, differs on chains (documented delta;
+    selection='greedy' is reference-exact).
+    """
+    loser_id = F.when(
+        (F.col("a_score") > F.col("b_score"))
+        | ((F.col("a_score") == F.col("b_score")) & (F.col("a_id") < F.col("b_id"))),
+        F.struct(F.col("b_id").alias("doc_id"), F.col("b_loaded").alias("loaded")),
+    ).otherwise(
+        F.struct(F.col("a_id").alias("doc_id"), F.col("a_loaded").alias("loaded"))
+    )
+    losers = pairs.select(loser_id.alias("l")).select("l.doc_id", "l.loaded")
+    delete_list = losers.filter(~F.col("loaded")).select("doc_id").distinct()
+    modify_list = losers.filter(F.col("loaded")).select("doc_id").distinct()
+    return delete_list, modify_list
+
+
 def run_incremental(
     spark: SparkSession,
     new_docs: DataFrame,
@@ -170,17 +214,7 @@ def run_incremental(
     )
 
     # --- unchanged re-crawls -> unload (DeDupMapper.java:147-153)
-    unload = ck.through(
-        new_fps.alias("n")
-        .join(
-            base_fps.alias("o"),
-            (F.col("n.entity_id") == F.col("o.entity_id"))
-            & (F.col("n.fingerprint") == F.col("o.fingerprint")),
-            "left_semi",
-        )
-        .select("doc_id", "entity_id"),
-        "unload",
-    )
+    unload = ck.through(unload_list(new_fps, base_fps), "unload")
 
     # --- spam kill within the new batch (unchanged re-crawls still
     # probe — the reference writes same_finger rows to BOTH the unload
@@ -258,26 +292,10 @@ def run_incremental(
             "modify_list",
         )
     else:
-        # --- 'cc' mode: per-pair loser -> delete (not loaded) / modify
-        # (loaded) (SelectLogicMapper.java:39-44 orientation +
-        # SelectLogicReducer split on the lf flag). Parallel rule: any
-        # doc that loses at least one pair is a loser — matches greedy
-        # on cliques, differs on chains (documented delta;
-        # cfg.selection='greedy' is reference-exact).
-        loser_id = F.when(
-            (F.col("a_score") > F.col("b_score"))
-            | ((F.col("a_score") == F.col("b_score")) & (F.col("a_id") < F.col("b_id"))),
-            F.struct(F.col("b_id").alias("doc_id"), F.col("b_loaded").alias("loaded")),
-        ).otherwise(
-            F.struct(F.col("a_id").alias("doc_id"), F.col("a_loaded").alias("loaded"))
-        )
-        losers = pairs.select(loser_id.alias("l")).select("l.doc_id", "l.loaded")
-        delete_list = ck.through(
-            losers.filter(~F.col("loaded")).select("doc_id").distinct(), "delete_list"
-        )
-        modify_list = ck.through(
-            losers.filter(F.col("loaded")).select("doc_id").distinct(), "modify_list"
-        )
+        # --- 'cc' mode: per-pair loser split (loser_lists_cc)
+        dels, mods = loser_lists_cc(pairs)
+        delete_list = ck.through(dels, "delete_list")
+        modify_list = ck.through(mods, "modify_list")
 
     return IncrementalResult(
         new_fingerprints=new_fps,
