@@ -949,6 +949,30 @@ def q_embedding_topk_ivf(spark, sf):
     )
 
 
+def q_embedding_topk_ivf_disk(spark, sf):
+    # IVF over the WRITTEN partition-pruned layout (write_ivf_index ->
+    # ivf_probe): corpus partitioned by list_id on disk, probe scans
+    # only its probed partitions (rows-only; exact parity with
+    # ivf_topk is pinned by test_similarity, pruning by test plans)
+    import tempfile
+
+    from simhash_text_dedup_spark.operators.similarity import (
+        ivf_probe,
+        write_ivf_index,
+    )
+
+    emb = _read(spark, sf, "embeddings")
+    queries_df = (
+        emb.orderBy("vec_id").limit(5)
+        .select(F.col("vec_id").alias("query_id"), "embedding")
+    )
+    path = tempfile.mkdtemp(prefix="ivf_idx_")
+    write_ivf_index(emb, path, n_lists=32, seed=42)
+    return ivf_probe(spark, path, queries_df, k=10, n_probe=8).select(
+        "query_id", "neighbor_id", F.col("rank").cast("bigint").alias("rank")
+    )
+
+
 def q_incremental_round(spark, sf):
     # incremental new-vs-old dedup round (SURVEY §3.1/§2.9; rows-only)
     from simhash_text_dedup_spark.config import DedupConfig
@@ -1055,6 +1079,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_pairs": q_minhash_pairs,
         "embedding_topk_lsh": q_embedding_topk_lsh,
         "embedding_topk_ivf": q_embedding_topk_ivf,
+        "embedding_topk_ivf_disk": q_embedding_topk_ivf_disk,
         "multimodal_features": q_multimodal_features,
         "incremental_round": q_incremental_round,
         "simhash_clusters_greedy": q_simhash_clusters_greedy,

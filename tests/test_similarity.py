@@ -129,3 +129,93 @@ def test_ivf_empty_training_sample_raises_clearly(spark):
     )
     with pytest.raises(ValueError, match="training sample is empty"):
         ivf_topk(empty, q, k=3)
+
+
+def _clustered(spark, seed=5, n_centers=10, per=40, dim=32):
+    import numpy as np
+
+    rng = np.random.default_rng(seed)
+    centers = rng.standard_normal((n_centers, dim)) * 5
+    rows = []
+    vid = 0
+    for c in centers:
+        for _ in range(per):
+            rows.append((vid, (c + rng.standard_normal(dim) * 0.3).tolist()))
+            vid += 1
+    corpus = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    queries = spark.createDataFrame(
+        [(r[0], r[1]) for r in rows[::97]], "query_id long, embedding array<double>"
+    )
+    return corpus, queries
+
+
+def test_ivf_written_index_matches_in_memory(spark, tmp_path):
+    """write_ivf_index + ivf_probe must reproduce ivf_topk exactly
+    (same centroids from the same deterministic sample + seed)."""
+    from simhash_text_dedup_spark.operators.similarity import (
+        ivf_probe,
+        ivf_topk,
+        write_ivf_index,
+    )
+
+    corpus, queries = _clustered(spark)
+    path = str(tmp_path / "ivf")
+    write_ivf_index(corpus, path, n_lists=16, seed=1)
+    on_disk = sorted(
+        (r.query_id, r.neighbor_id, r.rank)
+        for r in ivf_probe(spark, path, queries, k=10, n_probe=3).collect()
+    )
+    in_mem = sorted(
+        (r.query_id, r.neighbor_id, r.rank)
+        for r in ivf_topk(corpus, queries, k=10, n_lists=16, n_probe=3, seed=1).collect()
+    )
+    assert on_disk == in_mem
+
+
+def test_ivf_probe_scans_only_probed_partitions(spark, tmp_path):
+    """The partition-pruned layout must be REAL: a probe's executed
+    scan touches only list_id=<j> directories it probed, and the
+    filter reaches the scan as a PartitionFilter."""
+    import io
+    from contextlib import redirect_stdout
+
+    from simhash_text_dedup_spark.operators.similarity import (
+        probe_list_ids,
+        read_centroids,
+        read_ivf_lists,
+        write_ivf_index,
+    )
+
+    corpus, queries = _clustered(spark)
+    path = str(tmp_path / "ivf")
+    write_ivf_index(corpus, path, n_lists=16, seed=1)
+
+    cent = read_centroids(spark, path)
+    q = probe_list_ids(queries, cent, n_probe=2)
+    probed = sorted(r.list_id for r in q.select("list_id").distinct().collect())
+    all_lists = sorted(
+        r.list_id
+        for r in spark.read.parquet(f"{path}/lists")
+        .select("list_id").distinct().collect()
+    )
+    assert len(probed) < len(all_lists), (probed, all_lists)
+
+    scan = read_ivf_lists(spark, path, probed)
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        scan.explain("formatted")
+    plan = buf.getvalue()
+    pf_lines = [ln for ln in plan.splitlines() if "PartitionFilters" in ln]
+    assert pf_lines and "list_id" in pf_lines[0], plan
+
+    # execution-level proof: every file actually read lives in a probed
+    # list_id=<j> directory
+    files = {
+        r.f for r in scan.select(F.input_file_name().alias("f")).distinct().collect()
+    }
+    assert files
+    import re
+
+    for f in files:
+        m = re.search(r"list_id=(\d+)/", f)
+        assert m and int(m.group(1)) in probed, f
