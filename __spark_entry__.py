@@ -809,9 +809,37 @@ def q_minhash_band_pairs(spark, sf):
     )
 
 
-def _minhash_surrogate_sql() -> str:
-    """DuckDB twin of _surrogate_minhash_sigs + the production banded
-    join / signature verify, generated from the same constants."""
+def q_containment_pairs(spark, sf):
+    # containment hash-verified: the PRODUCTION substring-containment
+    # verifier (operators/minhash_pairs.containment_check, mapInPandas
+    # over candidate pairs) over the surrogate MinHash candidates; the
+    # planted near-dups literally contain their originals, so the
+    # contained set is non-trivial by construction
+    from simhash_text_dedup_spark.config import DedupConfig
+    from simhash_text_dedup_spark.operators.minhash_pairs import (
+        containment_check,
+        minhash_candidates,
+    )
+
+    cfg = DedupConfig(
+        minhash_perms=_MH_PERMS, minhash_bands=_MH_BANDS, minhash_rows=_MH_ROWS
+    )
+    cands = minhash_candidates(_surrogate_minhash_sigs(spark, sf), cfg)
+    d = _docs(spark, sf).select("doc_id", "text")
+    planted = d.filter(F.col("doc_id") % 10 == 0).select(
+        (F.col("doc_id") + 10000000).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" zq xw")).alias("text"),
+    )
+    prepared = d.unionByName(planted).select(
+        "doc_id", F.col("text").alias("content")
+    )
+    return containment_check(cands, prepared).select("a_id", "b_id", "contained")
+
+
+def _minhash_cands_cte() -> str:
+    """Shared DuckDB CTE chain: surrogate signatures -> banded ->
+    candidate pairs (twin of _surrogate_minhash_sigs +
+    minhash_candidates), generated from the same constants."""
     def md5big(expr: str) -> str:
         return "('0x' || substring(md5(" + expr + "), 1, 15))::BIGINT"
 
@@ -835,12 +863,8 @@ def _minhash_surrogate_sql() -> str:
         f"WHEN {j} THEN b{j}" for j in range(_MH_BANDS - 1)
     ) + f" ELSE b{_MH_BANDS - 1}"
     band_values = ", ".join(f"({j})" for j in range(_MH_BANDS))
-    matches = " + ".join(
-        f"CASE WHEN sa.s{i} = sb.s{i} THEN 1 ELSE 0 END"
-        for i in range(_MH_PERMS)
-    )
     return f"""
-        WITH dd AS (
+        dd AS (
           SELECT doc_id, text FROM documents
           UNION ALL
           SELECT doc_id + 10000000, text || ' zq xw'
@@ -875,11 +899,36 @@ def _minhash_surrogate_sql() -> str:
             ON l.band_idx = r.band_idx AND l.band_key = r.band_key
           WHERE l.doc_id < r.doc_id
         )
+    """
+
+
+def _minhash_surrogate_sql() -> str:
+    """Candidates + signature-Jaccard verify (twin of
+    minhash_verified_pairs over the surrogate family)."""
+    matches = " + ".join(
+        f"CASE WHEN sa.s{i} = sb.s{i} THEN 1 ELSE 0 END"
+        for i in range(_MH_PERMS)
+    )
+    return f"""
+        WITH {_minhash_cands_cte()}
         SELECT c.a_id, c.b_id, ({matches})::BIGINT AS n_match
         FROM cands c
         JOIN withbands sa ON sa.doc_id = c.a_id
         JOIN withbands sb ON sb.doc_id = c.b_id
         WHERE ({matches}) >= {_MH_PERMS // 2}
+    """
+
+
+def _containment_surrogate_sql() -> str:
+    """Candidates + exact substring containment (twin of
+    containment_check: emits only contained pairs)."""
+    return f"""
+        WITH {_minhash_cands_cte()}
+        SELECT c.a_id, c.b_id, TRUE AS contained
+        FROM cands c
+        JOIN dd a ON a.doc_id = c.a_id
+        JOIN dd b ON b.doc_id = c.b_id
+        WHERE contains(b.text, a.text) OR contains(a.text, b.text)
     """
 
 
@@ -1071,6 +1120,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "incremental_pairs": q_incremental_pairs,
         "incremental_round_lists": q_incremental_round_lists,
         "minhash_band_pairs": q_minhash_band_pairs,
+        "containment_pairs": q_containment_pairs,
         "render_formats": q_render_formats,
         "snapshot_merge": q_snapshot_merge,
         "simhash_fingerprints": q_simhash_fingerprints,
@@ -1202,6 +1252,7 @@ def oracle_sql() -> dict[str, str]:
             WITH {_SURROGATE_PAIRS_CTE}, {_INCREMENTAL_ROUND_SQL_TAIL}
         """,
         "minhash_band_pairs": _minhash_surrogate_sql(),
+        "containment_pairs": _containment_surrogate_sql(),
         "render_formats": f"""
             WITH {_SURROGATE_PAIRS_CTE}
             SELECT doc_id,
