@@ -443,6 +443,30 @@ def q_snapshot_merge(spark, sf):
     return t.read()
 
 
+def q_bucketed_join(spark, sf):
+    # S9-analog co-located join: two tables bucketBy'd on doc_id join
+    # with NO Exchange (shuffle-free sort-merge; plan property asserted
+    # in tests/test_plans.py::test_bucketed_join_is_shuffle_free); the
+    # oracle verifies the joined VALUES
+    import tempfile
+
+    from simhash_text_dedup_spark.sources.io import write_bucketed_table
+
+    db = "bjoin_demo"
+    spark.sql(
+        f"CREATE DATABASE IF NOT EXISTS {db} "
+        f"LOCATION '{tempfile.mkdtemp(prefix='bjoin_wh_')}'"
+    )
+    d = _docs(spark, sf)
+    write_bucketed_table(d.select("doc_id", "lang"), f"{db}.t_lang", "doc_id", n_buckets=8)
+    write_bucketed_table(d.select("doc_id", "n_chars"), f"{db}.t_chars", "doc_id", n_buckets=8)
+    j = spark.table(f"{db}.t_lang").join(spark.table(f"{db}.t_chars"), "doc_id")
+    return j.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("n_chars").cast("bigint").alias("total_chars"),
+    )
+
+
 def _surrogate_fps(spark, sf):
     """Surrogate fingerprint table for the HASH-VERIFIED dedup core:
     a 60-bit fingerprint both engines compute identically (md5 hex
@@ -998,6 +1022,85 @@ def q_embedding_topk_ivf(spark, sf):
     )
 
 
+# sign-bit LSH sketch both engines compute identically: band j's key
+# folds the sign bits of 4 consecutive embedding dimensions
+_LSH_SB_BANDS = 8
+_LSH_SB_BITS = 4
+
+
+def _signbit_sketch(col):
+    keys = []
+    for j in range(_LSH_SB_BANDS):
+        acc = F.lit(j << 5).cast("long")
+        for t in range(_LSH_SB_BITS):
+            acc = acc + F.when(
+                col[j * _LSH_SB_BITS + t] > 0, F.lit(1 << t)
+            ).otherwise(F.lit(0)).cast("long")
+        keys.append(acc)
+    return F.array(*keys)
+
+
+def q_embedding_topk_lsh_signbit(spark, sf):
+    # LSH ANN hash-verified: the PRODUCTION lsh_topk candidate join +
+    # exact cosine re-rank (operators/similarity.py) with a
+    # SQL-computable sign-bit sketch injected; the hyperplane sketch
+    # family stays pinned by test_similarity recall tests
+    from simhash_text_dedup_spark.operators.similarity import lsh_topk
+
+    emb = _read(spark, sf, "embeddings")
+    queries_df = (
+        emb.orderBy("vec_id").limit(5)
+        .select(F.col("vec_id").alias("query_id"), "embedding")
+    )
+    return lsh_topk(emb, queries_df, k=10, sketch_fn=_signbit_sketch).select(
+        "query_id", "neighbor_id", F.col("rank").cast("bigint").alias("rank")
+    )
+
+
+def _lsh_signbit_sql() -> str:
+    """DuckDB twin of the sign-bit sketch + lsh_topk's candidate join +
+    exact re-rank (DuckDB lists are 1-based: v[i+1] == Spark col[i])."""
+    key_exprs = []
+    for j in range(_LSH_SB_BANDS):
+        bits = " + ".join(
+            f"(CASE WHEN v[{j * _LSH_SB_BITS + t + 1}] > 0 "
+            f"THEN {1 << t} ELSE 0 END)"
+            for t in range(_LSH_SB_BITS)
+        )
+        key_exprs.append(f"({j << 5} + {bits})")
+    keys_list = ", ".join(key_exprs)
+    return f"""
+        WITH e AS (
+          SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+        ), eb AS (
+          SELECT vec_id, v, unnest([{keys_list}]) AS band_key FROM e
+        ), q AS (
+          SELECT vec_id AS query_id, v AS qv, band_key
+          FROM eb WHERE vec_id IN (
+            SELECT vec_id FROM e ORDER BY vec_id LIMIT 5
+          )
+        ), cands AS (
+          SELECT DISTINCT q.query_id, eb.vec_id
+          FROM q JOIN eb ON q.band_key = eb.band_key
+          WHERE eb.vec_id != q.query_id
+        ), sims AS (
+          SELECT c.query_id, c.vec_id AS neighbor_id,
+                 list_dot_product(e.v, qe.v)
+                   / (sqrt(list_dot_product(e.v, e.v))
+                      * sqrt(list_dot_product(qe.v, qe.v))) AS cs
+          FROM cands c
+          JOIN e ON e.vec_id = c.vec_id
+          JOIN e qe ON qe.vec_id = c.query_id
+        ), ranked AS (
+          SELECT query_id, neighbor_id,
+                 row_number() OVER (PARTITION BY query_id
+                                    ORDER BY cs DESC, neighbor_id ASC) AS rank
+          FROM sims
+        )
+        SELECT query_id, neighbor_id, rank FROM ranked WHERE rank <= 10
+    """
+
+
 def q_embedding_topk_ivf_disk(spark, sf):
     # IVF over the WRITTEN partition-pruned layout (write_ivf_index ->
     # ivf_probe): corpus partitioned by list_id on disk, probe scans
@@ -1113,6 +1216,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ngram_jaccard": q_ngram_jaccard,
         "sessionize": q_sessionize,
         "rollup_revenue": q_rollup_revenue,
+        "bucketed_join": q_bucketed_join,
         "band_join_pairs": q_band_join_pairs,
         "cc_clusters": q_cc_clusters,
         "greedy_actions": q_greedy_actions,
@@ -1128,6 +1232,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_fingerprint_xxhash": q_doc_fingerprint_xxhash,
         "minhash_pairs": q_minhash_pairs,
         "embedding_topk_lsh": q_embedding_topk_lsh,
+        "embedding_topk_lsh_signbit": q_embedding_topk_lsh_signbit,
         "embedding_topk_ivf": q_embedding_topk_ivf,
         "embedding_topk_ivf_disk": q_embedding_topk_ivf_disk,
         "multimodal_features": q_multimodal_features,
@@ -1253,6 +1358,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "minhash_band_pairs": _minhash_surrogate_sql(),
         "containment_pairs": _containment_surrogate_sql(),
+        "embedding_topk_lsh_signbit": _lsh_signbit_sql(),
         "render_formats": f"""
             WITH {_SURROGATE_PAIRS_CTE}
             SELECT doc_id,
@@ -1539,6 +1645,10 @@ def oracle_sql() -> dict[str, str]:
                    round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
             FROM lineitem
             GROUP BY ROLLUP (l_returnflag, l_linestatus)
+        """,
+        "bucketed_join": """
+            SELECT lang, count(*) AS n, sum(n_chars)::BIGINT AS total_chars
+            FROM documents GROUP BY lang
         """,
         "ngram_jaccard": """
             WITH g AS (

@@ -102,12 +102,20 @@ def lsh_topk(
     n_planes: int = 64,
     n_bands: int = 8,
     seed: int = 42,
+    sketch_fn=None,
 ) -> DataFrame:
     """Approximate cosine top-k: hyperplane-LSH candidate generation +
     exact re-rank. Same output schema as brute_force_topk.  `dim` is
     optional — the sketch UDF derives identical planes from (seed, dim)
-    on every executor, so no driver probe is needed."""
-    sketch = hyperplane_sketch_udf(dim, n_planes, n_bands, seed)
+    on every executor, so no driver probe is needed.
+
+    `sketch_fn` (Column -> Column producing array<long> band keys)
+    overrides the hyperplane sketch; the candidate join + exact
+    re-rank are sketch-family-agnostic, which lets the driver oracle
+    pin them over a SQL-computable sign-bit sketch
+    (`__spark_entry__.q_embedding_topk_lsh_signbit`) while the
+    production hyperplane family stays pinned by recall tests."""
+    sketch = sketch_fn or hyperplane_sketch_udf(dim, n_planes, n_bands, seed)
 
     c = corpus.select(
         "vec_id",

@@ -60,6 +60,30 @@ def write_named_outputs(
     return paths
 
 
+def write_bucketed_table(
+    df: DataFrame,
+    table: str,
+    bucket_col: str,
+    n_buckets: int = 16,
+    mode: str = "overwrite",
+) -> None:
+    """Hash-bucketed, in-bucket-sorted saved table (`bucketBy` +
+    `sortBy`): two tables bucketed on the same key with the same bucket
+    count join with NO Exchange — the co-located sort-merge join that
+    makes repeated corpus-x-metadata joins shuffle-free at 100 TB
+    (asserted in tests/test_plans.py::test_bucketed_join_is_shuffle_free).
+    The Spark-native analog of the reference's region-aligned layouts
+    (ParseResultImporter.java:231-290): co-locate once at write time,
+    join forever without moving data."""
+    (
+        df.write.mode(mode)
+        .bucketBy(n_buckets, bucket_col)
+        .sortBy(bucket_col)
+        .format("parquet")
+        .saveAsTable(table)
+    )
+
+
 def write_sorted_within_partitions(
     df: DataFrame,
     path: str,

@@ -119,3 +119,33 @@ def test_fingerprint_stage_single_python_stage(spark):
     assert len(node_ids) == 1, plan
     # no row-at-a-time Python UDF node anywhere
     assert "BatchEvalPython" not in plan
+
+
+def test_bucketed_join_is_shuffle_free(spark, tmp_path):
+    """Two tables bucketed on the same key/count must sort-merge join
+    with NO Exchange in the plan (co-located join — the write-once
+    layout that makes repeated corpus-x-metadata joins shuffle-free)."""
+    from simhash_text_dedup_spark.sources.io import write_bucketed_table
+
+    spark.sql(
+        f"CREATE DATABASE IF NOT EXISTS bdemo LOCATION '{tmp_path}/wh'"
+    )
+    # at test scale Catalyst would just broadcast the tiny side; disable
+    # that to expose the layout property a 100-TB join relies on
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        docs = spark.read.parquet(f"{SF}/documents.parquet")
+        left = docs.select("doc_id", "lang")
+        right = docs.select("doc_id", "n_chars")
+        write_bucketed_table(left, "bdemo.t_lang", "doc_id", n_buckets=8)
+        write_bucketed_table(right, "bdemo.t_chars", "doc_id", n_buckets=8)
+        j = spark.table("bdemo.t_lang").join(spark.table("bdemo.t_chars"), "doc_id")
+        plan = _plan(j)
+        assert "SortMergeJoin" in plan, plan
+        assert "Exchange" not in plan, plan
+        # and the join is actually correct
+        assert j.count() == docs.count()
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+        spark.sql("DROP DATABASE IF EXISTS bdemo CASCADE")
