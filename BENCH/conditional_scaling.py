@@ -64,10 +64,13 @@ def main() -> None:
     ap.add_argument("--out", default="BENCH/scaling_retry.json")
     args = ap.parse_args()
 
+    gate_cleared = False
+    bench_failed = False
     for attempt in range(args.attempts):
         eff = kernel_control()
         print(f"[attempt {attempt}] kernel control 2->8: {eff:.3f}", flush=True)
         if eff >= args.control_threshold:
+            gate_cleared = True
             env = {**os.environ,
                    "SPARK_GRAFT_BENCH_DOCS": os.environ.get(
                        "SPARK_GRAFT_BENCH_DOCS", "1000000"),
@@ -80,6 +83,7 @@ def main() -> None:
             if res.returncode != 0:
                 # a failed bench run is NOT scaling evidence; log and
                 # let the next attempt try again
+                bench_failed = True
                 print(f"[attempt {attempt}] bench.py failed "
                       f"(rc={res.returncode}):\n{res.stderr[-2000:]}",
                       flush=True)
@@ -92,6 +96,7 @@ def main() -> None:
             except json.JSONDecodeError:
                 print(f"[attempt {attempt}] unparseable bench output: "
                       f"{line[:200]}", flush=True)
+                bench_failed = True
                 payload = None
             if payload is not None:
                 payload["kernel_control_at_launch"] = round(eff, 3)
@@ -104,8 +109,14 @@ def main() -> None:
             continue
         if attempt < args.attempts - 1:
             time.sleep(args.sleep)
-    print("box never cleared the control threshold; no scaling run fired",
-          flush=True)
+    if bench_failed:
+        print("gate cleared at least once but bench.py never produced a "
+              "valid result; no scaling evidence recorded", flush=True)
+    elif gate_cleared:
+        print("gate cleared but no evidence recorded (unexpected)", flush=True)
+    else:
+        print("box never cleared the control threshold; no scaling run fired",
+              flush=True)
 
 
 if __name__ == "__main__":

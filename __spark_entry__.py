@@ -453,10 +453,14 @@ def q_bucketed_join(spark, sf):
     from simhash_text_dedup_spark.sources.io import write_bucketed_table
 
     db = "bjoin_demo"
-    spark.sql(
-        f"CREATE DATABASE IF NOT EXISTS {db} "
-        f"LOCATION '{tempfile.mkdtemp(prefix='bjoin_wh_')}'"
-    )
+    # mkdtemp only on first use — CREATE DATABASE IF NOT EXISTS ignores
+    # LOCATION once the database exists, so later calls would leak an
+    # orphan temp dir per invocation
+    if not spark.catalog.databaseExists(db):
+        spark.sql(
+            f"CREATE DATABASE {db} "
+            f"LOCATION '{tempfile.mkdtemp(prefix='bjoin_wh_')}'"
+        )
     d = _docs(spark, sf)
     write_bucketed_table(d.select("doc_id", "lang"), f"{db}.t_lang", "doc_id", n_buckets=8)
     write_bucketed_table(d.select("doc_id", "n_chars"), f"{db}.t_chars", "doc_id", n_buckets=8)
@@ -769,16 +773,25 @@ def _md5big(col):
     return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("long")
 
 
-def _surrogate_minhash_sigs(spark, sf):
-    """doc_id, sig (array<bigint> 16), bands (array<bigint> 4) — with
-    planted near-duplicates (every doc_id % 10 == 0 reappears with two
-    extra tokens, so its shingle set overlaps heavily)."""
+def _planted_minhash_docs(spark, sf):
+    """(doc_id, text) corpus shared by the MinHash/containment
+    surrogates: documents plus planted near-duplicates (every
+    doc_id % 10 == 0 reappears at +10000000 with two extra tokens, so
+    its shingle set overlaps heavily AND it contains the original as a
+    substring).  The DuckDB twin is the `dd` CTE in
+    _minhash_cands_cte — change the two together."""
     d = _docs(spark, sf).select("doc_id", "text")
     planted = d.filter(F.col("doc_id") % 10 == 0).select(
         (F.col("doc_id") + 10000000).alias("doc_id"),
         F.concat(F.col("text"), F.lit(" zq xw")).alias("text"),
     )
-    dd = d.unionByName(planted)
+    return d.unionByName(planted)
+
+
+def _surrogate_minhash_sigs(spark, sf):
+    """doc_id, sig (array<bigint> 16), bands (array<bigint> 4) over
+    the planted corpus."""
+    dd = _planted_minhash_docs(spark, sf)
     toks = F.split(F.col("text"), " ")
     # same 3-shingle convention as q_ngram_jaccard (already oracle-pinned)
     sh = F.when(
@@ -849,12 +862,7 @@ def q_containment_pairs(spark, sf):
         minhash_perms=_MH_PERMS, minhash_bands=_MH_BANDS, minhash_rows=_MH_ROWS
     )
     cands = minhash_candidates(_surrogate_minhash_sigs(spark, sf), cfg)
-    d = _docs(spark, sf).select("doc_id", "text")
-    planted = d.filter(F.col("doc_id") % 10 == 0).select(
-        (F.col("doc_id") + 10000000).alias("doc_id"),
-        F.concat(F.col("text"), F.lit(" zq xw")).alias("text"),
-    )
-    prepared = d.unionByName(planted).select(
+    prepared = _planted_minhash_docs(spark, sf).select(
         "doc_id", F.col("text").alias("content")
     )
     return containment_check(cands, prepared).select("a_id", "b_id", "contained")

@@ -290,7 +290,10 @@ def ivf_probe(
     The probed-list collect is over the (small) query batch — the
     corpus-side scan is driven entirely by partition pruning."""
     cent = read_centroids(spark, path)
-    q = probe_list_ids(queries, cent, n_probe)
+    # cut lineage once: the probe assignment (query scan + Arrow UDF)
+    # feeds both the probed-list collect and the final join — without
+    # the checkpoint it would run twice
+    q = probe_list_ids(queries, cent, n_probe).localCheckpoint(eager=False)
     probed = [r.list_id for r in q.select("list_id").distinct().collect()]
     lists = read_ivf_lists(spark, path, probed)
     w = Window.partitionBy("query_id").orderBy(F.col("cos_sim").desc(), F.col("vec_id"))

@@ -49,6 +49,11 @@ def quota_topk(
     quota_old = int(k * old_ratio + 1e-9)
     quota_new = k - quota_old
 
+    # a NULL flag counts as "new" everywhere (filter, counts, limit) —
+    # with a bare F.col(is_old) a NULL row would fall out of BOTH side
+    # filters and silently vanish from the result
+    old_flag = F.coalesce(F.col(is_old), F.lit(False))
+
     # rank window runs over a side's <= k survivors (post-limit), so the
     # "single partition" it implies holds k rows, not the table
     w = Window.orderBy(*order_by)
@@ -61,19 +66,19 @@ def quota_topk(
             .withColumn("rank", F.row_number().over(w))
         )
 
-    ranked = _side_topk(F.col(is_old)).unionByName(_side_topk(~F.col(is_old)))
+    ranked = _side_topk(old_flag).unionByName(_side_topk(~old_flag))
 
     # per-side totals for the spill arithmetic: one map-side-combined
     # count aggregation over the table (the analog of the reference's
     # InputSampler pre-pass), broadcast as a single row
     counts = df.groupBy().agg(
-        F.sum(F.when(F.col(is_old), 1).otherwise(0)).alias("_n_old"),
-        F.sum(F.when(F.col(is_old), 0).otherwise(1)).alias("_n_new"),
+        F.sum(F.when(old_flag, 1).otherwise(0)).alias("_n_old"),
+        F.sum(F.when(old_flag, 0).otherwise(1)).alias("_n_new"),
     )
     spill_to_old = F.greatest(F.lit(0), F.lit(quota_new) - F.col("_n_new"))
     spill_to_new = F.greatest(F.lit(0), F.lit(quota_old) - F.col("_n_old"))
     limit = F.when(
-        F.col(is_old), F.lit(quota_old) + spill_to_old
+        old_flag, F.lit(quota_old) + spill_to_old
     ).otherwise(F.lit(quota_new) + spill_to_new)
 
     return (

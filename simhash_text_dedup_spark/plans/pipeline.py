@@ -249,6 +249,14 @@ def spread_input(docs: DataFrame, parallelism: int) -> DataFrame:
         n_files = len(docs.inputFiles())
     except Exception:
         n_files = 0
+    if n_files == 0:
+        # non-file provenance (createDataFrame / views): driver-local
+        # data, so the RDD conversion is cheap and NOT in the parquet
+        # hot path; skip the shuffle when the frame is already wide
+        # enough (and never down-partition a wider one)
+        if docs.rdd.getNumPartitions() >= parallelism:
+            return docs
+        return docs.repartition(parallelism)
     if n_files < parallelism:
         return docs.repartition(parallelism)
     return docs

@@ -40,3 +40,20 @@ def test_both_sides_short_returns_everything(spark):
 def test_zero_old_ratio(spark):
     out = quota_topk(_df(spark, 50, 50), k=10, old_ratio=0.0).collect()
     assert all(not r.is_old for r in out) and len(out) == 10
+
+
+def test_quota_topk_null_flag_counts_as_new(spark):
+    """A NULL is_old flag must count as 'new' everywhere (filter,
+    counts, limit) — not silently vanish from both side filters."""
+    from simhash_text_dedup_spark.operators.topk import quota_topk
+
+    rows = [
+        (1, 10.0, True), (2, 9.0, True),
+        (3, 8.0, False), (4, 7.0, None),
+        (5, 6.0, None), (6, 5.0, False),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, score double, is_old boolean")
+    out = quota_topk(df, k=4, old_ratio=0.5).collect()
+    got = {r.doc_id for r in out}
+    # quotas 2/2: old side takes 1,2; new side (incl. NULLs) takes 3,4
+    assert got == {1, 2, 3, 4}, got
