@@ -1,0 +1,115 @@
+"""Continuous dedup: Structured-Streaming micro-batches driving FULL
+incremental dedup rounds against the snapshot-table corpus.
+
+The reference's production loop IS this shape, hand-rolled
+(spider/hadoop/jobcontrol/SelectAndSendJob.java:118-172: poll a folder
+every 10 s -> run DeDup+SelectLogic against the loaded corpus ->
+bulk-load winners -> ship delete/modify/unload lists -> rename folders
+as commit markers).  The Spark-native restatement: a file-source
+stream + foreachBatch where every micro-batch is one
+`run_incremental` round:
+
+  * the corpus table's atomic optimistic MERGE commit
+    (sources/snapshots.py) replaces the folder-rename state machine —
+    a replayed batch re-merges the same rows by entity_id, which is a
+    no-op upsert, so the sink is idempotent under at-least-once
+    foreachBatch semantics;
+  * per-batch side lists (delete/modify/unload) land under their own
+    `batch_id=<id>` directory (overwrite-on-replay, S11 named
+    outputs);
+  * the stream checkpoint resumes exactly where a crashed round left
+    off.
+
+Composes only independently-tested parts: the ingest file source
+(streaming/ingest.py), run_incremental (plans/incremental.py),
+SnapshotTable (sources/snapshots.py), write_named_outputs
+(sources/io.py).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from simhash_text_dedup_spark.config import DedupConfig
+from simhash_text_dedup_spark.plans.incremental import run_incremental
+from simhash_text_dedup_spark.sources.io import write_named_outputs
+from simhash_text_dedup_spark.sources.snapshots import SnapshotTable
+from simhash_text_dedup_spark.streaming.ingest import DOCUMENTS_SCHEMA
+
+
+def run_dedup_round_batch(
+    spark: SparkSession,
+    batch_df: DataFrame,
+    batch_id: int,
+    corpus_table_dir: str,
+    lists_dir: str,
+    cfg: DedupConfig = DedupConfig(),
+) -> None:
+    """One streaming micro-batch = one incremental dedup round.
+
+    Commits ONLY docs that should exist in the corpus going forward:
+    spam-killed rows and delete-list losers are never loaded (the
+    reference drops them before the HBase bulk-load; same rule as
+    jobs/run_incremental.py) — committing them would re-seed the next
+    round's band join with the very floods the spam pass kills.
+    """
+    if batch_df.isEmpty():
+        return
+    corpus = SnapshotTable(spark, corpus_table_dir)
+    base = None if corpus.is_empty() else corpus.read()
+    res = run_incremental(spark, batch_df, base, cfg)
+    to_commit = (
+        res.new_fingerprints
+        .join(res.spam_kills.select("doc_id"), "doc_id", "left_anti")
+        .join(res.delete_list.select("doc_id"), "doc_id", "left_anti")
+        .select("doc_id", "entity_id", "fingerprint", "score")
+    )
+    corpus.merge(to_commit, key_cols=["entity_id"])
+    write_named_outputs(
+        {
+            "delete_list": res.delete_list,
+            "modify_list": res.modify_list,
+            "unload": res.unload.select("doc_id", "entity_id"),
+        },
+        f"{lists_dir}/batch_id={batch_id}",
+        formats={"delete_list": "csv", "modify_list": "csv"},
+    )
+
+
+def stream_dedup_rounds(
+    spark: SparkSession,
+    input_dir: str,
+    corpus_table_dir: str,
+    lists_dir: str,
+    checkpoint_dir: str,
+    cfg: DedupConfig = DedupConfig(),
+    available_now: bool = True,
+    max_files_per_trigger: int = 64,
+):
+    """Watch input_dir for new documents parquet files; every
+    micro-batch runs a full incremental round and MERGE-commits into
+    the snapshot corpus.  Returns the StreamingQuery.
+
+    availableNow drains what is present and stops (the reference's
+    batch-per-round behavior); a processingTime trigger is the same
+    code deployed continuously."""
+    stream = (
+        spark.readStream.schema(DOCUMENTS_SCHEMA)
+        .option("maxFilesPerTrigger", str(max_files_per_trigger))
+        .parquet(input_dir)
+    )
+
+    def _round(batch_df: DataFrame, batch_id: int) -> None:
+        run_dedup_round_batch(
+            spark, batch_df, batch_id, corpus_table_dir, lists_dir, cfg
+        )
+
+    writer = (
+        stream.writeStream.foreachBatch(_round)
+        .option("checkpointLocation", checkpoint_dir)
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    else:
+        writer = writer.trigger(processingTime="10 seconds")
+    return writer.start()

@@ -1,0 +1,90 @@
+"""Continuous dedup rounds (streaming/dedup.py): each micro-batch runs
+a full incremental round against the snapshot-table corpus, MERGE-
+commits the survivors, and ships per-batch delete/modify/unload lists
+— the streaming restatement of the reference's folder-polling round
+loop (SelectAndSendJob.java:118-172)."""
+
+import os
+
+import pandas as pd
+from pyspark.sql import functions as F
+
+from simhash_text_dedup_spark.config import DedupConfig
+from simhash_text_dedup_spark.sources.corpus import CorpusSpec, generate_corpus
+from simhash_text_dedup_spark.sources.snapshots import SnapshotTable
+from simhash_text_dedup_spark.streaming.dedup import stream_dedup_rounds
+
+CFG = DedupConfig(spam_threshold=5)
+
+
+def test_stream_dedup_rounds_commit_and_lists(spark, tmp_path_factory):
+    root = tmp_path_factory.mktemp("sdedup")
+    in_dir = str(root / "in")
+    os.makedirs(in_dir)
+    corpus_dir = str(root / "corpus")
+    lists_dir = str(root / "lists")
+    ck = str(root / "ck")
+
+    docs, _ = generate_corpus(CorpusSpec(n_docs=120, seed=11))
+    first = docs.iloc[:100]
+    first.to_parquet(f"{in_dir}/round0.parquet", index=False)
+
+    q = stream_dedup_rounds(spark, in_dir, corpus_dir, lists_dir, ck, CFG)
+    q.awaitTermination(240)
+
+    committed1 = SnapshotTable(spark, corpus_dir).read()
+    n1 = committed1.count()
+    assert n1 > 0
+    # one committed row per entity
+    assert committed1.select("entity_id").distinct().count() == n1
+
+    # round 2: 10 unchanged re-crawls of docs KNOWN committed in round 1
+    # (spam-killed/deleted docs never load, so a re-crawl of one is not
+    # an unload) + the 20 remaining new docs
+    committed_entities = {
+        r.entity_id for r in committed1.select("entity_id").collect()
+    }
+    first_entities = (
+        spark.createDataFrame(first)
+        .withColumn("entity_id", F.xxhash64("repo", "path"))
+        .select("path", "entity_id")
+        .collect()
+    )
+    keep_paths = [
+        r.path for r in first_entities if r.entity_id in committed_entities
+    ][:10]
+    assert len(keep_paths) == 10
+    recrawl = first[first.path.isin(keep_paths)]
+    second = pd.concat([recrawl, docs.iloc[100:]], ignore_index=True)
+    second.to_parquet(f"{in_dir}/round1.parquet", index=False)
+
+    q2 = stream_dedup_rounds(spark, in_dir, corpus_dir, lists_dir, ck, CFG)
+    q2.awaitTermination(240)
+
+    committed2 = SnapshotTable(spark, corpus_dir).read()
+    # corpus grew (some of the 20 new docs may dedup away, never shrink)
+    assert committed2.select("entity_id").distinct().count() >= n1
+
+    # stream checkpoint made it two batches; the second batch's unload
+    # list holds exactly the 10 unchanged re-crawls
+    batch_dirs = sorted(os.listdir(lists_dir))
+    assert len(batch_dirs) == 2, batch_dirs
+    unload = spark.read.parquet(f"{lists_dir}/{batch_dirs[-1]}/unload")
+    assert unload.count() == 10
+
+    # replaying the same round (fresh checkpoint, same input file) is
+    # idempotent on the corpus: MERGE by entity_id upserts identical rows
+    before = {
+        (r.entity_id, r.fingerprint)
+        for r in committed2.select("entity_id", "fingerprint").collect()
+    }
+    q3 = stream_dedup_rounds(
+        spark, in_dir, corpus_dir, lists_dir, str(root / "ck_replay"), CFG
+    )
+    q3.awaitTermination(240)
+    after = {
+        (r.entity_id, r.fingerprint)
+        for r in SnapshotTable(spark, corpus_dir)
+        .read().select("entity_id", "fingerprint").collect()
+    }
+    assert after == before
