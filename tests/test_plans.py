@@ -149,3 +149,47 @@ def test_bucketed_join_is_shuffle_free(spark, tmp_path):
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
         spark.sql("DROP DATABASE IF EXISTS bdemo CASCADE")
+
+
+def test_aqe_skew_join_backstop(spark):
+    """ARCHITECTURE claims 'AQE skew-join backstops moderate imbalance'
+    — make it executable: a skewed sort-merge join with lowered skew
+    thresholds must show skew=true in the final adaptive plan (the hot
+    partition split across tasks at runtime)."""
+    restore = {
+        k: spark.conf.get(k)
+        for k in (
+            "spark.sql.adaptive.enabled",
+            "spark.sql.autoBroadcastJoinThreshold",
+        )
+    }
+    tuned = {
+        "spark.sql.adaptive.enabled": "true",
+        "spark.sql.adaptive.skewJoin.enabled": "true",
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "2.0",
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "16KB",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "8KB",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+    }
+    for k, v in tuned.items():
+        spark.conf.set(k, v)
+    try:
+        left = spark.range(200_000).select(
+            F.when(F.col("id") % 10 != 0, 0).otherwise(F.col("id")).alias("k"),
+            F.col("id").alias("v"),
+        )
+        right = spark.range(0, 200_000, 50).select(
+            F.col("id").alias("k"), (F.col("id") * 2).alias("w")
+        )
+        j = left.join(right, "k")
+        assert len(j.collect()) > 0  # execute THIS plan so AQE finalizes it
+        # the finalized adaptive plan lives on the executed DataFrame's
+        # own queryExecution (explain() would re-plan from scratch)
+        final = j._jdf.queryExecution().executedPlan().toString()
+        assert "skew=true" in final, final
+    finally:
+        for k, v in restore.items():
+            spark.conf.set(k, v)
+        for k in tuned:
+            if k not in restore:
+                spark.conf.unset(k)
