@@ -552,6 +552,49 @@ def q_incremental_pairs(spark, sf):
     )
 
 
+def q_incremental_pairs_banded(spark, sf):
+    # §3.1 hash-verified against the SAME oracle as incremental_pairs,
+    # but the corpus side is the SAVED pre-banded bucketed layout
+    # (sources/banded_corpus.py): identical pair semantics, different
+    # physical plan — the corpus is never shuffled per round (the
+    # write-once analog of the reference's per-round MemTable rebuild,
+    # incload/MemTable.java:154-212; co-location asserted in
+    # tests/test_banded_corpus.py)
+    import tempfile
+
+    from simhash_text_dedup_spark.config import DedupConfig
+    from simhash_text_dedup_spark.sources.banded_corpus import (
+        candidate_pairs_banded,
+        write_banded_corpus,
+    )
+
+    fps = _surrogate_fps(spark, sf)
+    is_new = (F.col("doc_id") >= 10000000) | (F.col("doc_id") % 2 == 1)
+    tagged = fps.select(
+        "doc_id", "fingerprint",
+        is_new.alias("is_new"),
+        (~is_new).alias("is_loaded"),
+        F.col("fingerprint").bitwiseAND(F.lit(1048575)).cast("double").alias("score"),
+    )
+    corpus = tagged.filter("NOT is_new").select(
+        "doc_id", F.col("doc_id").alias("entity_id"), "fingerprint", "score"
+    )
+    db = "banded_demo"
+    if not spark.catalog.databaseExists(db):
+        spark.sql(
+            f"CREATE DATABASE {db} "
+            f"LOCATION '{tempfile.mkdtemp(prefix='banded_wh_')}'"
+        )
+    write_banded_corpus(corpus, f"{db}.corpus", DedupConfig(), n_buckets=8)
+    return candidate_pairs_banded(
+        spark, tagged.filter("is_new"), f"{db}.corpus", DedupConfig()
+    ).select(
+        "a_id", "b_id",
+        F.col("hamming").cast("bigint").alias("hamming"),
+        "b_is_new",
+    )
+
+
 def q_render_formats(spark, sf):
     # F5 hex/bin rendering + parse round-trip (the reference renders
     # fingerprints/docids as hex text in its list files and HBase keys)
@@ -1230,6 +1273,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "greedy_actions": q_greedy_actions,
         "cluster_size_histogram": q_cluster_size_histogram,
         "incremental_pairs": q_incremental_pairs,
+        "incremental_pairs_banded": q_incremental_pairs_banded,
         "incremental_round_lists": q_incremental_round_lists,
         "minhash_band_pairs": q_minhash_band_pairs,
         "containment_pairs": q_containment_pairs,
@@ -1326,7 +1370,7 @@ _SURROGATE_CC_CTE = """
 def oracle_sql() -> dict[str, str]:
     _LANG_ID_SQL = _lang_id_sql()
     stop_list = "['the','of','and','to','in','is','for','that','with','a']"
-    return {
+    out = {
         "band_join_pairs": f"""
             WITH {_SURROGATE_PAIRS_CTE}
             SELECT a_id, b_id, hamming FROM verified
@@ -1681,3 +1725,7 @@ def oracle_sql() -> dict[str, str]:
         # MinHash, iterative connected components, xxhash64, LSH sketches,
         # binary decode); driver records the rows-only check.
     }
+    # identical semantics, different physical layout (pre-banded
+    # bucketed corpus) — same truth
+    out["incremental_pairs_banded"] = out["incremental_pairs"]
+    return out
