@@ -180,6 +180,7 @@ def run_incremental(
     cfg: DedupConfig = DedupConfig(),
     checkpoint_dir: str | None = None,
     resume: bool = True,
+    banded_corpus_table: str | None = None,
 ) -> IncrementalResult:
     """One incremental round.
 
@@ -189,6 +190,12 @@ def run_incremental(
               (doc_id, entity_id, fingerprint, score) — typically the
               previous round's `new_fingerprints` checkpoint appended to
               the running corpus table; None for the first round.
+    banded_corpus_table: optional name of the SAVED pre-banded bucketed
+              corpus (sources/banded_corpus.write_banded_corpus over the
+              same rows as `base`).  When set, the round's candidate
+              join reads the corpus co-located — zero corpus-side
+              shuffle (identical pair set; `base` is still required for
+              the unload/loaded bookkeeping, which is cheap).
     """
     ck = Checkpointer(spark, checkpoint_dir, resume)
 
@@ -233,28 +240,44 @@ def run_incremental(
     new_side = (
         survivors.join(loaded, "entity_id", "left")
         .select(
-            "doc_id", "fingerprint", F.lit(True).alias("is_new"),
+            "doc_id", "entity_id", "fingerprint", F.lit(True).alias("is_new"),
             F.coalesce("is_loaded", F.lit(False)).alias("is_loaded"),
             "score",
         )
     )
 
-    # every entity participates ONCE, with its CURRENT fingerprint:
-    # drop re-crawled entities' stale base rows (the reference mapper
-    # overwrites finger with newfinger, DeDupMapper.java:156-158), so a
-    # new version never pairs with its own previous row
-    base_live = base_fps.join(
-        new_fps.select("entity_id").distinct(), "entity_id", "left_anti"
-    )
-
-    # --- band join: new (left) vs new ∪ live-old (right); old x old excluded
-    all_side = new_side.unionByName(
-        base_live.select(
-            "doc_id", "fingerprint", "is_new",
-            F.lit(True).alias("is_loaded"), "score",
+    if banded_corpus_table is not None:
+        # co-located path: the saved pre-banded bucketed corpus is read
+        # with no Exchange; stale rows of re-crawled entities are
+        # excluded inside via a broadcast anti-join on new_side's
+        # entity set (sources/banded_corpus.py)
+        from simhash_text_dedup_spark.sources.banded_corpus import (
+            candidate_pairs_banded,
         )
-    )
-    pairs = ck.through(candidate_pairs(new_side, all_side, cfg), "pairs")
+
+        pairs_df = candidate_pairs_banded(
+            spark, new_side, banded_corpus_table, cfg
+        )
+    else:
+        # every entity participates ONCE, with its CURRENT fingerprint:
+        # drop re-crawled entities' stale base rows (the reference
+        # mapper overwrites finger with newfinger,
+        # DeDupMapper.java:156-158), so a new version never pairs with
+        # its own previous row
+        base_live = base_fps.join(
+            new_fps.select("entity_id").distinct(), "entity_id", "left_anti"
+        )
+
+        # band join: new (left) vs new ∪ live-old (right); old x old
+        # excluded
+        all_side = new_side.unionByName(
+            base_live.select(
+                "doc_id", "entity_id", "fingerprint", "is_new",
+                F.lit(True).alias("is_loaded"), "score",
+            )
+        )
+        pairs_df = candidate_pairs(new_side, all_side, cfg)
+    pairs = ck.through(pairs_df, "pairs")
 
     cc = connected_components(
         pairs.select("a_id", "b_id"), cfg.cc_max_iter, cfg.cc_driver_threshold

@@ -182,3 +182,45 @@ def test_delete_vs_modify_split(scenario):
         else:
             loser, loser_loaded = p.a_id, p.a_loaded
         assert loser in (mods if loser_loaded else dels)
+
+
+def test_banded_table_round_matches_plain_round(spark, scenario, tmp_path_factory):
+    """run_incremental(banded_corpus_table=...) against the saved
+    pre-banded bucketed corpus must produce the identical pairs and
+    delete/modify/unload lists as the plain in-memory round."""
+    from simhash_text_dedup_spark.sources.banded_corpus import (
+        write_banded_corpus,
+    )
+
+    res_plain, base_pdf, new_pdf = scenario
+    prepared = prepare_documents(spark.createDataFrame(base_pdf)).withColumn(
+        "entity_id", F.xxhash64("repo", "path")
+    )
+    base_fps = (
+        fingerprint_stage(prepared, CFG)
+        .join(prepared.select("doc_id", "entity_id"), "doc_id")
+        .select("doc_id", "entity_id", "fingerprint", "score")
+    )
+    wh = tmp_path_factory.mktemp("incbandedwh")
+    spark.sql(f"CREATE DATABASE IF NOT EXISTS incb LOCATION '{wh}'")
+    try:
+        write_banded_corpus(base_fps, "incb.corpus", CFG, n_buckets=8)
+        res_banded = run_incremental(
+            spark,
+            spark.createDataFrame(new_pdf),
+            base_fps,
+            CFG,
+            banded_corpus_table="incb.corpus",
+        )
+        for attr in ("delete_list", "modify_list"):
+            a = {r.doc_id for r in getattr(res_plain, attr).collect()}
+            b = {r.doc_id for r in getattr(res_banded, attr).collect()}
+            assert a == b, attr
+        a = {r.doc_id for r in res_plain.unload.collect()}
+        b = {r.doc_id for r in res_banded.unload.collect()}
+        assert a == b
+        pa = {(r.a_id, r.b_id, r.hamming) for r in res_plain.pairs.collect()}
+        pb = {(r.a_id, r.b_id, r.hamming) for r in res_banded.pairs.collect()}
+        assert pa == pb
+    finally:
+        spark.sql("DROP DATABASE IF EXISTS incb CASCADE")
