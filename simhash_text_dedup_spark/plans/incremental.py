@@ -108,25 +108,70 @@ def candidate_pairs(
         F.col("is_new").alias("b_is_new"), F.col("is_loaded").alias("b_loaded"),
         F.col("score").alias("b_score"),
     )
-    joined = left.join(right, ["band", "band_key"]).filter(
-        (~F.col("b_is_new")) | (F.col("a_id") < F.col("b_id"))
-    )
-    first_match = F.lit(True)
-    for j in range(cfg.n_bands - 1):
-        j_matches = band_key(F.col("a_fp"), j, cfg.n_bands, cfg.band_bits) == band_key(
-            F.col("b_fp"), j, cfg.n_bands, cfg.band_bits
+
+    def _pairs(joined: DataFrame) -> DataFrame:
+        joined = joined.filter(
+            (~F.col("b_is_new")) | (F.col("a_id") < F.col("b_id"))
         )
-        first_match = first_match & ((F.col("band") <= F.lit(j)) | ~j_matches)
-    return (
-        joined.withColumn("hamming", hamming_col(F.col("a_fp"), F.col("b_fp")))
-        .filter((F.col("hamming") <= cfg.hamming_k) & (F.col("a_id") != F.col("b_id")))
-        .filter(first_match)
-        .select(
-            "a_id", "b_id", "hamming",
-            "a_is_new", "b_is_new", "a_loaded", "b_loaded",
-            "a_score", "b_score",
+        first_match = F.lit(True)
+        for j in range(cfg.n_bands - 1):
+            j_matches = band_key(
+                F.col("a_fp"), j, cfg.n_bands, cfg.band_bits
+            ) == band_key(F.col("b_fp"), j, cfg.n_bands, cfg.band_bits)
+            first_match = first_match & (
+                (F.col("band") <= F.lit(j)) | ~j_matches
+            )
+        return (
+            joined.withColumn(
+                "hamming", hamming_col(F.col("a_fp"), F.col("b_fp"))
+            )
+            .filter(
+                (F.col("hamming") <= cfg.hamming_k)
+                & (F.col("a_id") != F.col("b_id"))
+            )
+            .filter(first_match)
+            .select(
+                "a_id", "b_id", "hamming",
+                "a_is_new", "b_is_new", "a_loaded", "b_loaded",
+                "a_score", "b_score",
+            )
+        )
+
+    if cfg.hot_bucket_mode != "salt":
+        # AQE's skew-join backstop is the only guard (adequate for
+        # moderate imbalance; 'salt' is the default)
+        return _pairs(left.join(right, ["band", "band_key"]))
+
+    # --- hot-bucket routing (round-3 VERDICT #2): corpus-side band
+    # buckets above band_bucket_cap leave the plain equi-join (where a
+    # hot key funnels into few tasks) and go through a salted sub-join
+    # — corpus rows spread across salt_partitions by b_id, the (tiny:
+    # new rows sharing a hot key) probe side replicated per salt.  The
+    # first-matching-band predicate is routing-independent fingerprint
+    # arithmetic, so the split never double-emits or drops a pair.
+    from simhash_text_dedup_spark.operators.pairs import hot_buckets
+
+    hot = (
+        hot_buckets(right.select("band", "band_key"), cfg)
+        .select("band", "band_key")
+        .localCheckpoint(eager=False)
+    )
+    cold = _pairs(
+        left.join(F.broadcast(hot), ["band", "band_key"], "left_anti").join(
+            right.join(F.broadcast(hot), ["band", "band_key"], "left_anti"),
+            ["band", "band_key"],
         )
     )
+    s = cfg.salt_partitions
+    lh = (
+        left.join(F.broadcast(hot), ["band", "band_key"], "left_semi")
+        .withColumn("salt", F.explode(F.array(*[F.lit(i) for i in range(s)])))
+    )
+    rh = right.join(F.broadcast(hot), ["band", "band_key"], "left_semi").withColumn(
+        "salt", F.pmod(F.xxhash64("b_id"), F.lit(s)).cast("int")
+    )
+    hot_pairs = _pairs(lh.join(rh, ["band", "band_key", "salt"]))
+    return cold.unionByName(hot_pairs)
 
 
 def unload_list(new_fps: DataFrame, base_fps: DataFrame) -> DataFrame:
@@ -181,6 +226,7 @@ def run_incremental(
     checkpoint_dir: str | None = None,
     resume: bool = True,
     banded_corpus_table: str | None = None,
+    verify_banded_sync: bool = True,
 ) -> IncrementalResult:
     """One incremental round.
 
@@ -196,6 +242,11 @@ def run_incremental(
               join reads the corpus co-located — zero corpus-side
               shuffle (identical pair set; `base` is still required for
               the unload/loaded bookkeeping, which is cheap).
+    verify_banded_sync: guard the banded fast path with a cheap
+              row-count comparison between the saved layout and `base`
+              (metadata-only parquet counts) — a layout that silently
+              drifted from the corpus would produce a WRONG pair set
+              (round-3 ADVICE); raises ValueError on mismatch.
     """
     ck = Checkpointer(spark, checkpoint_dir, resume)
 
@@ -252,9 +303,12 @@ def run_incremental(
         # excluded inside via a broadcast anti-join on new_side's
         # entity set (sources/banded_corpus.py)
         from simhash_text_dedup_spark.sources.banded_corpus import (
+            assert_banded_sync,
             candidate_pairs_banded,
         )
 
+        if verify_banded_sync:
+            assert_banded_sync(spark, banded_corpus_table, base, cfg)
         pairs_df = candidate_pairs_banded(
             spark, new_side, banded_corpus_table, cfg
         )
