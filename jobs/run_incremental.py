@@ -8,7 +8,16 @@ jobs probing the loaded HBase corpus).
         jobs/run_incremental.py --new-batch <documents parquet> \
         --corpus-table <snapshot table dir> --output <dir> \
         [--checkpoint <dir>] [--spam-threshold N] [--selection cc|greedy]
-        [--resume]
+        [--resume] [--banded-corpus-table <name>]
+
+--banded-corpus-table routes the round's band join through the SAVED
+pre-banded bucketed layout (sources/banded_corpus.py): the corpus
+side reads co-located with zero shuffle — only the new batch's band
+rows move — and after the MERGE commit the layout is MAINTAINED
+(append the batch, tombstone superseded re-crawl rows) instead of the
+per-round O(corpus) memtable rebuild the reference performs
+(incload/MemTable.java:80-212).  Bootstraps on the first round and
+self-heals (rebuild) if the layout drifts from the corpus.
 
 Round contract:
   1. base = corpus table's CURRENT snapshot (or empty on round 1);
@@ -39,6 +48,7 @@ def main() -> None:
     p.add_argument("--spam-threshold", type=int, default=1000)
     p.add_argument("--selection", choices=["cc", "greedy"], default="cc")
     p.add_argument("--resume", action="store_true")
+    p.add_argument("--banded-corpus-table", default=None)
     args = p.parse_args()
 
     from pyspark.sql import SparkSession
@@ -55,9 +65,26 @@ def main() -> None:
     base = None if corpus.is_empty() else corpus.read()
     new_docs = spark.read.parquet(args.new_batch)
 
+    banded = None
+    n_base = None
+    if args.banded_corpus_table is not None and base is not None:
+        from simhash_text_dedup_spark.sources.banded_corpus import (
+            assert_banded_sync,
+            write_banded_corpus,
+        )
+
+        n_base = base.count()
+        try:
+            assert_banded_sync(spark, args.banded_corpus_table, base, cfg)
+        except Exception:
+            # missing (first round after bootstrap) or drifted: rebuild
+            write_banded_corpus(base, args.banded_corpus_table, cfg)
+        banded = args.banded_corpus_table
+
     res = run_incremental(
         spark, new_docs, base, cfg,
         checkpoint_dir=args.checkpoint, resume=args.resume,
+        banded_corpus_table=banded, verify_banded_sync=False,
     )
 
     # commit ONLY docs that should exist in the corpus going forward:
@@ -71,7 +98,19 @@ def main() -> None:
         .join(res.delete_list.select("doc_id"), "doc_id", "left_anti")
         .select("doc_id", "entity_id", "fingerprint", "score")
     )
+    if args.banded_corpus_table is not None:
+        to_commit = to_commit.localCheckpoint(eager=False)
     snap = corpus.merge(to_commit, key_cols=["entity_id"])
+    if args.banded_corpus_table is not None:
+        from simhash_text_dedup_spark.sources.banded_corpus import (
+            maintain_banded_corpus,
+        )
+
+        action = maintain_banded_corpus(
+            spark, args.banded_corpus_table, base, n_base, to_commit,
+            corpus.read(), cfg,
+        )
+        print(f"banded corpus maintenance: {action}")
     write_named_outputs(
         {
             "delete_list": res.delete_list,

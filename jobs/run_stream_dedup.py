@@ -9,11 +9,18 @@ SelectAndSendJob.java:118-172, as a streaming query).
         jobs/run_stream_dedup.py --input <watched documents dir> \
         --corpus-table <snapshot table dir> --lists <dir> \
         --checkpoint <dir> [--spam-threshold N] [--selection cc|greedy]
-        [--continuous]
+        [--continuous] [--banded-corpus-table <name>]
 
 Default drains what is present and exits (availableNow — one "round"
 per invocation, cron-able); --continuous keeps the query running with
 a 10 s trigger (same code, deployed as a service).
+
+--banded-corpus-table opts rounds into the maintained pre-banded
+bucketed join layout (sources/banded_corpus.py): the corpus side of
+each round's band join reads co-located with zero shuffle, and the
+commit step appends the batch / tombstones superseded rows.  The
+layout is bootstrapped from the first commit and self-heals (rebuild)
+if it drifts from the corpus.
 """
 
 from __future__ import annotations
@@ -30,6 +37,7 @@ def main() -> None:
     p.add_argument("--spam-threshold", type=int, default=1000)
     p.add_argument("--selection", choices=["cc", "greedy"], default="cc")
     p.add_argument("--continuous", action="store_true")
+    p.add_argument("--banded-corpus-table", default=None)
     args = p.parse_args()
 
     from pyspark.sql import SparkSession
@@ -49,6 +57,7 @@ def main() -> None:
         args.checkpoint,
         cfg,
         available_now=not args.continuous,
+        banded_corpus_table=args.banded_corpus_table,
     )
     q.awaitTermination()
 

@@ -280,6 +280,50 @@ def assert_banded_sync(
         )
 
 
+def maintain_banded_corpus(
+    spark: SparkSession,
+    table: str,
+    base: DataFrame | None,
+    n_base: int | None,
+    to_commit: DataFrame,
+    post: DataFrame,
+    cfg: DedupConfig = DedupConfig(),
+) -> str:
+    """Post-commit upkeep shared by the batch job
+    (jobs/run_incremental.py) and the streaming round
+    (streaming/dedup.py).  `base`/`n_base` are the PRE-merge corpus
+    and its row count (None on the first round), `to_commit` the
+    batch's committed fingerprints, `post` the post-merge corpus.
+
+    Returns which action ran, decided by the live-count invariant:
+      'bootstrap'  no pre-merge corpus -> write the layout fresh
+      'noop'       live count already matches post (replayed batch
+                   under at-least-once delivery — maintenance is
+                   idempotent)
+      'append'     live count matches pre-merge base -> append the
+                   batch, tombstone superseded re-crawl rows
+      'rebuild'    anything else (crash mid-append / out-of-band
+                   commit) -> compaction rewrite from `post`
+    """
+    if base is None:
+        write_banded_corpus(post, table, cfg)
+        return "bootstrap"
+    n_post = post.count()
+    live = live_doc_count(spark, table, cfg)
+    if live == n_post:
+        return "noop"
+    if live == n_base:
+        stale = base.join(
+            F.broadcast(to_commit.select("entity_id").distinct()),
+            "entity_id",
+            "left_semi",
+        ).select("doc_id")
+        append_banded_corpus(to_commit, table, cfg, stale_doc_ids=stale)
+        return "append"
+    write_banded_corpus(post, table, cfg)
+    return "rebuild"
+
+
 def _first_match(cfg: DedupConfig) -> Column:
     """Emit each pair only in its first matching band: this row's band
     (bkey >> band_bits) must be the smallest j where the two

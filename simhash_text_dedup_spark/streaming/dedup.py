@@ -18,12 +18,23 @@ stream + foreachBatch where every micro-batch is one
     `batch_id=<id>` directory (overwrite-on-replay, S11 named
     outputs);
   * the stream checkpoint resumes exactly where a crashed round left
-    off.
+    off, and each round gets its own Checkpointer dir so the round
+    DAG (pandas-UDF fingerprints, band join, loser split) runs ONCE
+    per batch instead of once per downstream action (round-3 ADVICE);
+  * with `banded_corpus_table` set, the round's band join reads the
+    SAVED pre-banded bucketed layout (sources/banded_corpus.py —
+    only the new batch shuffles) and the commit step MAINTAINS it:
+    append the committed batch, tombstone superseded re-crawl rows.
+    The layout is self-healing: if it is missing or its live count
+    drifts from the corpus (crash mid-append, out-of-band commit),
+    the round rebuilds it with write_banded_corpus before use — and
+    the post-merge count check makes the maintenance step idempotent
+    under foreachBatch replay (an already-appended batch is skipped).
 
 Composes only independently-tested parts: the ingest file source
 (streaming/ingest.py), run_incremental (plans/incremental.py),
-SnapshotTable (sources/snapshots.py), write_named_outputs
-(sources/io.py).
+SnapshotTable (sources/snapshots.py), banded corpus maintenance
+(sources/banded_corpus.py), write_named_outputs (sources/io.py).
 """
 
 from __future__ import annotations
@@ -44,6 +55,8 @@ def run_dedup_round_batch(
     corpus_table_dir: str,
     lists_dir: str,
     cfg: DedupConfig = DedupConfig(),
+    banded_corpus_table: str | None = None,
+    round_checkpoint_root: str | None = None,
 ) -> None:
     """One streaming micro-batch = one incremental dedup round.
 
@@ -52,19 +65,72 @@ def run_dedup_round_batch(
     reference drops them before the HBase bulk-load; same rule as
     jobs/run_incremental.py) — committing them would re-seed the next
     round's band join with the very floods the spam pass kills.
+
+    round_checkpoint_root: per-round Checkpointer root — materializes
+    each stage once, so the merge action and the three list writes
+    read parquet instead of re-running the round DAG 4-5x.  The leaf
+    dir is keyed on (batch_id, corpus snapshot head): a crash-replayed
+    batch (same head) resumes its finished stages from parquet, while
+    a batch id recycled against a DIFFERENT corpus state (fresh stream
+    checkpoint) gets a fresh dir instead of stale stage outputs.
+    banded_corpus_table: maintained co-located band-join layout; see
+    module docstring for the self-healing/idempotence rules.
     """
+    from simhash_text_dedup_spark.sources.banded_corpus import (
+        assert_banded_sync,
+        maintain_banded_corpus,
+        write_banded_corpus,
+    )
+
     if batch_df.isEmpty():
         return
     corpus = SnapshotTable(spark, corpus_table_dir)
     base = None if corpus.is_empty() else corpus.read()
-    res = run_incremental(spark, batch_df, base, cfg)
+    checkpoint_dir = None
+    if round_checkpoint_root is not None:
+        head = corpus.current_snapshot() or 0
+        checkpoint_dir = f"{round_checkpoint_root}/b{batch_id:06d}-s{head}"
+
+    banded = None
+    n_base = None
+    if banded_corpus_table is not None and base is not None:
+        n_base = base.count()
+        try:
+            assert_banded_sync(spark, banded_corpus_table, base, cfg)
+        except Exception:
+            # layout missing (first round after bootstrap) or drifted
+            # (crash mid-append / corpus committed outside the stream):
+            # rebuild = compaction, then proceed co-located
+            write_banded_corpus(base, banded_corpus_table, cfg)
+        banded = banded_corpus_table
+
+    res = run_incremental(
+        spark,
+        batch_df,
+        base,
+        cfg,
+        checkpoint_dir=checkpoint_dir,
+        resume=True,
+        banded_corpus_table=banded,
+        verify_banded_sync=False,  # checked (and repaired) above
+    )
     to_commit = (
         res.new_fingerprints
         .join(res.spam_kills.select("doc_id"), "doc_id", "left_anti")
         .join(res.delete_list.select("doc_id"), "doc_id", "left_anti")
         .select("doc_id", "entity_id", "fingerprint", "score")
     )
+    if banded_corpus_table is not None:
+        # reused three times (merge, stale derivation, append)
+        to_commit = to_commit.localCheckpoint(eager=False)
     corpus.merge(to_commit, key_cols=["entity_id"])
+
+    if banded_corpus_table is not None:
+        maintain_banded_corpus(
+            spark, banded_corpus_table, base, n_base, to_commit,
+            corpus.read(), cfg,
+        )
+
     write_named_outputs(
         {
             "delete_list": res.delete_list,
@@ -85,6 +151,7 @@ def stream_dedup_rounds(
     cfg: DedupConfig = DedupConfig(),
     available_now: bool = True,
     max_files_per_trigger: int = 64,
+    banded_corpus_table: str | None = None,
 ):
     """Watch input_dir for new documents parquet files; every
     micro-batch runs a full incremental round and MERGE-commits into
@@ -92,7 +159,8 @@ def stream_dedup_rounds(
 
     availableNow drains what is present and stops (the reference's
     batch-per-round behavior); a processingTime trigger is the same
-    code deployed continuously."""
+    code deployed continuously.  banded_corpus_table opts the rounds
+    into the maintained co-located band-join layout."""
     stream = (
         spark.readStream.schema(DOCUMENTS_SCHEMA)
         .option("maxFilesPerTrigger", str(max_files_per_trigger))
@@ -101,7 +169,14 @@ def stream_dedup_rounds(
 
     def _round(batch_df: DataFrame, batch_id: int) -> None:
         run_dedup_round_batch(
-            spark, batch_df, batch_id, corpus_table_dir, lists_dir, cfg
+            spark,
+            batch_df,
+            batch_id,
+            corpus_table_dir,
+            lists_dir,
+            cfg,
+            banded_corpus_table=banded_corpus_table,
+            round_checkpoint_root=f"{checkpoint_dir}/rounds",
         )
 
     writer = (

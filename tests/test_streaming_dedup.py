@@ -88,3 +88,103 @@ def test_stream_dedup_rounds_commit_and_lists(spark, tmp_path_factory):
         .read().select("entity_id", "fingerprint").collect()
     }
     assert after == before
+
+
+def test_stream_dedup_banded_rounds(spark, tmp_path_factory, monkeypatch):
+    """banded_corpus_table wiring (round-3 VERDICT #5): the second
+    micro-batch's round must run through the SAVED banded layout (only
+    the new side shuffles), the commit step must MAINTAIN the layout
+    (live count tracks the corpus), and the committed corpus must be
+    identical to a plain (non-banded) stream over the same input."""
+    import simhash_text_dedup_spark.streaming.dedup as sd
+    from simhash_text_dedup_spark.sources.banded_corpus import (
+        candidate_pairs_banded,
+        live_doc_count,
+    )
+
+    root = tmp_path_factory.mktemp("sdedupb")
+    in_dir = str(root / "in")
+    os.makedirs(in_dir)
+    docs, _ = generate_corpus(CorpusSpec(n_docs=120, seed=23))
+    docs.iloc[:70].to_parquet(f"{in_dir}/round0.parquet", index=False)
+
+    wh = tmp_path_factory.mktemp("sbdwh")
+    spark.sql(f"CREATE DATABASE IF NOT EXISTS sbd LOCATION '{wh}'")
+    calls = []
+    real_run = sd.run_incremental
+
+    def spy(spark_, new_docs, base, cfg, **kw):
+        calls.append(kw.get("banded_corpus_table"))
+        return real_run(spark_, new_docs, base, cfg, **kw)
+
+    monkeypatch.setattr(sd, "run_incremental", spy)
+    try:
+        corpus_dir = str(root / "corpus")
+        q = stream_dedup_rounds(
+            spark, in_dir, corpus_dir, str(root / "lists"),
+            str(root / "ck"), CFG, banded_corpus_table="sbd.corpus",
+        )
+        q.awaitTermination(240)
+        # batch 0: empty corpus -> plain round, then layout bootstrap
+        assert calls == [None]
+        n1 = SnapshotTable(spark, corpus_dir).read().count()
+        assert live_doc_count(spark, "sbd.corpus", CFG) == n1
+
+        docs.iloc[70:].to_parquet(f"{in_dir}/round1.parquet", index=False)
+        q2 = stream_dedup_rounds(
+            spark, in_dir, corpus_dir, str(root / "lists"),
+            str(root / "ck"), CFG, banded_corpus_table="sbd.corpus",
+        )
+        q2.awaitTermination(240)
+        assert calls[-1] == "sbd.corpus"  # round 2 used the layout
+        committed = SnapshotTable(spark, corpus_dir).read()
+        assert live_doc_count(spark, "sbd.corpus", CFG) == committed.count()
+
+        # identical corpus to the plain stream over the same files
+        plain_dir = str(root / "plain_corpus")
+        for ck in ("pck",):
+            qp = stream_dedup_rounds(
+                spark, in_dir, plain_dir, str(root / "plain_lists"),
+                str(root / ck), CFG,
+            )
+            qp.awaitTermination(240)
+        got = {
+            (r.entity_id, r.fingerprint)
+            for r in committed.select("entity_id", "fingerprint").collect()
+        }
+        want = {
+            (r.entity_id, r.fingerprint)
+            for r in SnapshotTable(spark, plain_dir)
+            .read().select("entity_id", "fingerprint").collect()
+        }
+        assert got == want and len(want) > 0
+
+        # co-location survives maintenance: the cold corpus side of a
+        # fresh round join over the MAINTAINED table feeds its join
+        # with no exchange (only the new side hashes on bkey alone)
+        import io as _io
+        import re
+        from contextlib import redirect_stdout
+
+        new_side = spark.createDataFrame(
+            [(999001, 0x0F1E2D3C4B5A6978)],
+            "doc_id long, fingerprint long",
+        ).select(
+            "doc_id", "fingerprint", F.lit(True).alias("is_new"),
+            F.lit(False).alias("is_loaded"), F.lit(1.0).alias("score"),
+        )
+        prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        try:
+            j = candidate_pairs_banded(spark, new_side, "sbd.corpus", CFG)
+            buf = _io.StringIO()
+            with redirect_stdout(buf):
+                j.explain("formatted")
+            plan = buf.getvalue()
+            assert "Bucketed: true" in plan, plan
+            single = re.findall(r"hashpartitioning\(bkey#\d+, \d+\)", plan)
+            assert len(single) == 1, plan
+        finally:
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    finally:
+        spark.sql("DROP DATABASE IF EXISTS sbd CASCADE")
