@@ -232,9 +232,15 @@ class Checkpointer:
 
 
 def spread_input(docs: DataFrame, parallelism: int) -> DataFrame:
-    """Fan the pandas-UDF fingerprint work out across all cores without
-    touching `df.rdd` (which forces a DataFrame->RDD conversion plan on
-    every run just to read a partition count — round-1/2 advice).
+    """Fan the pandas-UDF fingerprint work out across all cores.
+
+    The parquet/file HOT PATH never touches `df.rdd` (which forces a
+    DataFrame->RDD conversion plan on every run just to read a
+    partition count — round-1/2 advice; asserted executable in
+    tests/test_plans.py::test_spread_input_file_path_never_converts_to_rdd).
+    The one remaining `.rdd` below runs ONLY for driver-local non-file
+    frames (createDataFrame / views), where the conversion is cheap
+    and off the scan path.
 
     Heuristic on `inputFiles()`: fewer files than cores -> repartition.
     A single multi-row-group file *would* byte-range-split into many

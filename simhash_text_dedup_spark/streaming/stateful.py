@@ -49,27 +49,43 @@ def _track_entity(
     else:
         last_fp, n_seen = None, 0
 
-    out_rows = []
-    for pdf in pdfs:
-        # deterministic order within the micro-batch
-        pdf = pdf.sort_values("doc_id")
-        for r in pdf.itertuples(index=False):
-            if n_seen == 0:
-                decision = "new"
-            elif int(r.fingerprint) == int(last_fp):
-                decision = "unchanged"
-            else:
-                decision = "modified"
-            out_rows.append(
-                (entity_id, int(r.doc_id), int(r.fingerprint), decision)
-            )
-            last_fp = int(r.fingerprint)
-            n_seen += 1
+    # each version's decision depends only on the PREVIOUS version's
+    # fingerprint, so the whole group vectorizes as a shift-compare
+    # (round-3 VERDICT #7: no per-row python walk): prev[i] = fp[i-1],
+    # seeded with the stored state fingerprint
+    batch = pd.concat(list(pdfs), ignore_index=True)
+    batch = batch.sort_values("doc_id", ignore_index=True)
+    if len(batch):
+        fps = batch["fingerprint"].astype("int64")
+        # fill_value keeps the shifted series int64 — a NaN-bearing
+        # float64 shift silently corrupts large fingerprints (repo rule:
+        # nullable long -> float64 loses low bits).  The n_seen == 0
+        # seed value never matters: that row is overwritten to 'new'.
+        seed = int(last_fp) if n_seen > 0 else 0
+        prev = fps.shift(1, fill_value=seed)
+        decision = pd.Series(
+            ["modified"] * len(batch), index=batch.index, dtype=object
+        )
+        decision[fps.eq(prev)] = "unchanged"
+        if n_seen == 0:
+            decision.iloc[0] = "new"
+        out = pd.DataFrame(
+            {
+                "entity_id": entity_id,
+                "doc_id": batch["doc_id"].astype("int64"),
+                "fingerprint": fps,
+                "decision": decision,
+            }
+        )
+        last_fp = int(fps.iloc[-1])
+        n_seen += len(batch)
+    else:
+        out = pd.DataFrame(
+            columns=["entity_id", "doc_id", "fingerprint", "decision"]
+        )
 
     state.update((last_fp, n_seen))
-    yield pd.DataFrame(
-        out_rows, columns=["entity_id", "doc_id", "fingerprint", "decision"]
-    )
+    yield out
 
 
 def track_entity_versions(fingerprint_stream: DataFrame) -> DataFrame:

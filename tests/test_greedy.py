@@ -47,13 +47,34 @@ def test_greedy_keeps_more_than_cc_on_chains(spark):
 
 
 def test_greedy_warns_on_mega_component(spark):
-    """A pathological component past the pair threshold must surface a
-    RuntimeWarning (its sequential walk runs in one task)."""
+    """The mega-component guard lives INSIDE the applyInPandas pass
+    (round-3 ADVICE: no extra eager Spark job at construction time):
+    the component function warns past the threshold, and constructing
+    assign_actions_greedy runs ZERO Spark actions."""
+    from unittest.mock import patch
+
+    import pandas as pd
+    from pyspark.sql import DataFrame as _DF
+
     from simhash_text_dedup_spark.operators.selection import (
+        _greedy_component,
         assign_actions_greedy,
     )
 
     n = 30
+    rows = [
+        {"doc_id": i, "cluster_id": 0, "score": float(i), "is_new": True,
+         "b_doc": i}
+        for i in range(n)
+    ] + [
+        {"doc_id": a, "cluster_id": 0, "score": float(a), "is_new": True,
+         "b_doc": b}
+        for a in range(n) for b in range(a + 1, n)
+    ]
+    with pytest.warns(RuntimeWarning, match="single task"):
+        out_pdf = _greedy_component(pd.DataFrame(rows), warn_pairs=100)
+    assert (out_pdf["action"] == "keep").sum() == 1  # clique -> one keeper
+
     meta = spark.createDataFrame(
         [(i, 0, float(i), True) for i in range(n)],
         "doc_id long, cluster_id long, score double, is_new boolean",
@@ -62,9 +83,13 @@ def test_greedy_warns_on_mega_component(spark):
         [(a, b) for a in range(n) for b in range(a + 1, n)],
         "a_id long, b_id long",
     )
-    with pytest.warns(RuntimeWarning, match="single task"):
+
+    def _boom(*a, **k):
+        raise AssertionError("assign_actions_greedy ran an eager action")
+
+    with patch.object(_DF, "collect", _boom), patch.object(_DF, "count", _boom):
         out = assign_actions_greedy(meta, edges, warn_pairs_per_component=100)
-    # semantics unchanged by the check: clique -> one keeper
+    # semantics unchanged by the guard: clique -> one keeper
     assert out.filter("action = 'keep'").count() == 1
 
 

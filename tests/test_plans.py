@@ -193,3 +193,24 @@ def test_aqe_skew_join_backstop(spark):
         for k in tuned:
             if k not in restore:
                 spark.conf.unset(k)
+
+
+def test_spread_input_file_path_never_converts_to_rdd(spark, tmp_path):
+    """Round-3 VERDICT #8: for file-backed input (the 100-TB hot path)
+    spread_input must decide from inputFiles() alone — any .rdd touch
+    (a DataFrame->RDD conversion plan per run) fails this test."""
+    from unittest.mock import patch
+
+    from pyspark.sql import DataFrame as _DF
+
+    from simhash_text_dedup_spark.plans.pipeline import spread_input
+
+    spark.range(100).write.mode("overwrite").parquet(str(tmp_path / "p"))
+    docs = spark.read.parquet(str(tmp_path / "p"))
+
+    def _boom(self):
+        raise AssertionError("spread_input touched .rdd on the file path")
+
+    with patch.object(_DF, "rdd", property(_boom)):
+        out = spread_input(docs, 4)
+    assert out.count() == 100

@@ -219,3 +219,26 @@ def test_ivf_probe_scans_only_probed_partitions(spark, tmp_path):
     for f in files:
         m = re.search(r"list_id=(\d+)/", f)
         assert m and int(m.group(1)) in probed, f
+
+
+def test_lsh_candidates_have_no_dedup_shuffle(spark):
+    """Round-3 VERDICT #6: each candidate pair is emitted only in its
+    first shared band (codegen predicate over the rows' own key
+    arrays) — the plan must contain NO aggregate/deduplicate node for
+    candidate dedup, and results must still be duplicate-free."""
+    import io
+    from contextlib import redirect_stdout
+
+    from simhash_text_dedup_spark.operators.similarity import lsh_topk
+
+    corpus = _emb(spark)
+    queries = _queries(spark)
+    res = lsh_topk(corpus, queries, k=10, dim=32)
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        res.explain("formatted")
+    plan = buf.getvalue()
+    assert "HashAggregate" not in plan, plan
+    assert "Deduplicate" not in plan, plan
+    rows = res.collect()
+    assert len({(r.query_id, r.neighbor_id) for r in rows}) == len(rows)
