@@ -922,6 +922,53 @@ def q_containment_pairs(spark, sf):
     return containment_check(cands, prepared).select("a_id", "b_id", "contained")
 
 
+def q_substring_lcs(spark, sf):
+    # suffix-array substring check hash-verified (north rule's third
+    # verifier family): the PRODUCTION generalized-suffix-array LCS
+    # operator (operators/substring.pair_lcs — numpy prefix doubling +
+    # sparse-table LCP, no per-character Python) over the surrogate
+    # MinHash candidates; the oracle recomputes the containment flag
+    # (LCS == min length) with DuckDB's contains().  lcs_len itself is
+    # not SQL-expressible and is pinned by brute-force parity in
+    # tests/test_substring.py.
+    from simhash_text_dedup_spark.config import DedupConfig
+    from simhash_text_dedup_spark.operators.minhash_pairs import (
+        minhash_candidates,
+    )
+    from simhash_text_dedup_spark.operators.substring import pair_lcs
+
+    cfg = DedupConfig(
+        minhash_perms=_MH_PERMS, minhash_bands=_MH_BANDS, minhash_rows=_MH_ROWS
+    )
+    cands = minhash_candidates(_surrogate_minhash_sigs(spark, sf), cfg)
+    prepared = _planted_minhash_docs(spark, sf).select(
+        "doc_id", F.col("text").alias("content")
+    )
+    return pair_lcs(cands, prepared).select("a_id", "b_id", "contained")
+
+
+def q_edit_distance_pairs(spark, sf):
+    # borderline edit-distance verify, hash-verified: Spark's built-in
+    # codegen levenshtein (operators/substring.edit_distance_pairs — no
+    # UDF at all) vs DuckDB's levenshtein over the same candidates
+    from simhash_text_dedup_spark.config import DedupConfig
+    from simhash_text_dedup_spark.operators.minhash_pairs import (
+        minhash_candidates,
+    )
+    from simhash_text_dedup_spark.operators.substring import (
+        edit_distance_pairs,
+    )
+
+    cfg = DedupConfig(
+        minhash_perms=_MH_PERMS, minhash_bands=_MH_BANDS, minhash_rows=_MH_ROWS
+    )
+    cands = minhash_candidates(_surrogate_minhash_sigs(spark, sf), cfg)
+    prepared = _planted_minhash_docs(spark, sf).select(
+        "doc_id", F.col("text").alias("content")
+    )
+    return edit_distance_pairs(cands, prepared)
+
+
 def _minhash_cands_cte() -> str:
     """Shared DuckDB CTE chain: surrogate signatures -> banded ->
     candidate pairs (twin of _surrogate_minhash_sigs +
@@ -1015,6 +1062,31 @@ def _containment_surrogate_sql() -> str:
         JOIN dd a ON a.doc_id = c.a_id
         JOIN dd b ON b.doc_id = c.b_id
         WHERE contains(b.text, a.text) OR contains(a.text, b.text)
+    """
+
+
+def _substring_lcs_sql() -> str:
+    """Twin of pair_lcs's containment flag over ALL candidate pairs
+    (contained := LCS == min length == one contains the other)."""
+    return f"""
+        WITH {_minhash_cands_cte()}
+        SELECT c.a_id, c.b_id,
+               (contains(b.text, a.text) OR contains(a.text, b.text))
+                 AS contained
+        FROM cands c
+        JOIN dd a ON a.doc_id = c.a_id
+        JOIN dd b ON b.doc_id = c.b_id
+    """
+
+
+def _edit_distance_sql() -> str:
+    return f"""
+        WITH {_minhash_cands_cte()}
+        SELECT c.a_id, c.b_id,
+               levenshtein(a.text, b.text)::BIGINT AS edit_dist
+        FROM cands c
+        JOIN dd a ON a.doc_id = c.a_id
+        JOIN dd b ON b.doc_id = c.b_id
     """
 
 
@@ -1409,6 +1481,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "incremental_round_lists": q_incremental_round_lists,
         "minhash_band_pairs": q_minhash_band_pairs,
         "containment_pairs": q_containment_pairs,
+        "substring_lcs": q_substring_lcs,
+        "edit_distance_pairs": q_edit_distance_pairs,
         "render_formats": q_render_formats,
         "snapshot_merge": q_snapshot_merge,
         "simhash_fingerprints": q_simhash_fingerprints,
@@ -1544,6 +1618,8 @@ def oracle_sql() -> dict[str, str]:
         """,
         "minhash_band_pairs": _minhash_surrogate_sql(),
         "containment_pairs": _containment_surrogate_sql(),
+        "substring_lcs": _substring_lcs_sql(),
+        "edit_distance_pairs": _edit_distance_sql(),
         "embedding_topk_lsh_signbit": _lsh_signbit_sql(),
         "embedding_topk_ivf_axes": _ivf_axes_sql(),
         "embedding_topk_ivf_disk_axes": _ivf_axes_sql(),

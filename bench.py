@@ -171,17 +171,66 @@ def _one_scaling_run(corpus: str, cores: int, parts: int) -> dict:
     return r
 
 
+_CONTROL_TEXTS: list[bytes] | None = None
+
+
+def _control_work(batch):
+    from simhash_text_dedup_spark.fingerprint_core import simhash_batch
+
+    return simhash_batch(batch, width=3)[0]
+
+
+def host_control(lo: int = 2, hi: int = 8, n_docs: int = 12000) -> float:
+    """~20-30 s bare-multiprocessing kernel probe of the HOST's current
+    lo->hi parallel-speedup capability (no Spark, no JVM).  This box's
+    effective CPU/bandwidth drifts on a minutes scale (2-3x on
+    identical warm jobs); a pair measured while the probe reads low is
+    measuring the host, not the job."""
+    global _CONTROL_TEXTS
+    from multiprocessing import Pool
+
+    if _CONTROL_TEXTS is None:
+        from simhash_text_dedup_spark.sources.corpus import (
+            CorpusSpec,
+            generate_corpus,
+        )
+
+        docs_pdf, _ = generate_corpus(CorpusSpec(n_docs=n_docs, seed=3))
+        _CONTROL_TEXTS = [t.encode() for t in docs_pdf.content.tolist()]
+    chunk = max(1, len(_CONTROL_TEXTS) // 32)
+    chunks = [
+        _CONTROL_TEXTS[i:i + chunk]
+        for i in range(0, len(_CONTROL_TEXTS), chunk)
+    ]
+    walls: dict[int, float] = {}
+    for procs in (lo, hi):
+        with Pool(procs) as p:
+            p.map(_control_work, chunks[:4])  # warm workers
+            t0 = time.time()
+            p.map(_control_work, chunks)
+            walls[procs] = time.time() - t0
+    return (walls[lo] / walls[hi]) / (hi / lo)
+
+
 def main_scaling() -> None:
     """Two-parallelism scaling evidence (writes BENCH/BASELINE results).
 
-    Paired-interleaved protocol: alternate local[8] / local[32] runs and
-    compute the efficiency per adjacent pair, then take the median pair.
-    The sandbox host's effective CPU/bandwidth drifts on a scale of
-    minutes (observed 2-3x on identical warm jobs); pairing adjacent
-    runs cancels the drift that poisons independent medians.
+    Paired-interleaved protocol with CONTROL BRACKETING: alternate
+    local[lo] / local[hi] runs, compute the efficiency per adjacent
+    pair, and bracket every pair with the bare-kernel host control —
+    a pair only counts as CLEAN if the host could express >=
+    $SPARK_GRAFT_CONTROL_THRESHOLD (default 0.8) of ideal speedup both
+    immediately before and immediately after it (the round-3 sessions
+    showed the host drifting INSIDE the measurement window after a
+    clean launch gate).  Pairs keep coming until `need_clean` clean
+    pairs exist or `max_pairs` is hit; the reported value is the
+    median over clean pairs (falls back to all pairs, flagged, if the
+    host never stayed clean through one).
     """
     corpus = ensure_corpus(BENCH_DOCS)
-    reps = int(os.environ.get("SPARK_GRAFT_SCALING_REPS", "3"))
+    need_clean = int(os.environ.get("SPARK_GRAFT_SCALING_REPS", "3"))
+    max_pairs = int(os.environ.get("SPARK_GRAFT_SCALING_MAX_PAIRS", "6"))
+    threshold = float(os.environ.get("SPARK_GRAFT_CONTROL_THRESHOLD", "0.8"))
     # N and 4N cores. Default 2 -> 8: on this single-box sandbox the
     # pipeline saturates the VM's memory bandwidth at ~8 cores (measured
     # ~30k files/s ceiling), so 8 -> 32 measures DRAM contention, not the
@@ -192,26 +241,51 @@ def main_scaling() -> None:
         int(x) for x in os.environ.get("SPARK_GRAFT_SCALING_LEVELS", "2,8").split(",")
     )
     pairs = []
-    for _ in range(reps):
+    c_prev = round(host_control(lo, hi), 3)
+    print(f"[scaling] control before pair 0: {c_prev}", file=sys.stderr,
+          flush=True)
+    for i in range(max_pairs):
         r_lo = _one_scaling_run(corpus, lo, lo * 2)
         r_hi = _one_scaling_run(corpus, hi, hi * 2)
-        pairs.append(
-            {
-                f"local[{lo}]": r_lo,
-                f"local[{hi}]": r_hi,
-                "efficiency": round((r_lo["sec"] / r_hi["sec"]) / (hi / lo), 3),
-            }
+        c_after = round(host_control(lo, hi), 3)
+        pair = {
+            f"local[{lo}]": r_lo,
+            f"local[{hi}]": r_hi,
+            "efficiency": round((r_lo["sec"] / r_hi["sec"]) / (hi / lo), 3),
+            "control_before": c_prev,
+            "control_after": c_after,
+            "clean": min(c_prev, c_after) >= threshold,
+        }
+        pairs.append(pair)
+        print(
+            f"[scaling] pair {i}: eff={pair['efficiency']} "
+            f"controls=({c_prev},{c_after}) clean={pair['clean']}",
+            file=sys.stderr, flush=True,
         )
-    pairs.sort(key=lambda p: p["efficiency"])
-    med = pairs[len(pairs) // 2]
+        c_prev = c_after
+        if sum(p["clean"] for p in pairs) >= need_clean:
+            break
+    clean = sorted(
+        (p for p in pairs if p["clean"]), key=lambda p: p["efficiency"]
+    )
+    ranked_all = sorted(pairs, key=lambda p: p["efficiency"])
+    basis = clean if clean else ranked_all
+    med = basis[len(basis) // 2]
     out = {
         "metric": f"scaling_efficiency_{lo}_to_{hi}",
         "value": med["efficiency"],
         "unit": "ratio",
         "median_pair": med,
-        "all_efficiencies": [p["efficiency"] for p in pairs],
-        "all_pairs": pairs,
-        "note": f"efficiency = (T_{lo} / T_{hi}) / {hi//lo} per interleaved pair, median pair reported; target >= 0.8",
+        "basis": "clean_pairs" if clean else "all_pairs_NO_CLEAN_WINDOW",
+        "n_clean": len(clean),
+        "control_threshold": threshold,
+        "all_efficiencies": [p["efficiency"] for p in ranked_all],
+        "all_pairs": ranked_all,
+        "note": (
+            f"efficiency = (T_{lo} / T_{hi}) / {hi//lo} per interleaved "
+            "pair; every pair bracketed by bare-kernel host controls; "
+            "median over clean pairs reported; target >= 0.8"
+        ),
     }
     print(json.dumps(out))
 

@@ -191,6 +191,13 @@ def append_banded_corpus(
         stale_doc_ids = (
             live0.join(F.broadcast(new_entities), "entity_id", "left_semi")
             .join(F.broadcast(new_ids), "doc_id", "left_anti")
+            # rows superseded by an EARLIER batch are already masked —
+            # re-tombstoning them would double-count in live_doc_count
+            .join(
+                F.broadcast(spark.table(f"{table}__tombstones")),
+                "doc_id",
+                "left_anti",
+            )
             .select("doc_id")
         )
     stale_doc_ids.select("doc_id").distinct().write.mode("append").format(
@@ -254,7 +261,11 @@ def live_doc_count(spark: SparkSession, table: str, cfg: DedupConfig) -> int:
     """Number of live (non-tombstoned) documents in the layout, from
     two metadata-cheap counts: sum(stats)/n_bands - |tombstones|."""
     total = spark.table(f"{table}__stats").agg(F.sum("n")).collect()[0][0] or 0
-    tombs = spark.table(f"{table}__tombstones").count()
+    # distinct: a doc tombstoned twice (overlapping caller-provided
+    # stale sets) must still subtract once
+    tombs = (
+        spark.table(f"{table}__tombstones").select("doc_id").distinct().count()
+    )
     return int(total) // cfg.n_bands - tombs
 
 
