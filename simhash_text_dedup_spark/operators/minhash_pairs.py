@@ -7,9 +7,11 @@ containment; MinHash banding (32 bands x 4 rows over 128 perms) catches
 Jaccard >= ~0.7 pairs, and the containment check catches doc-inside-doc
 (F-CONTAIN fixtures).  Both feed the same edge set / clustering stage.
 
-Scale shape: the banded self-join shuffles only (doc_id, band_idx,
-band_key) — signatures are joined back onto the (small) candidate set
-afterwards, so the wide 128-long arrays never ride the big shuffle.
+Scale shape: the banded self-join shuffles (doc_id, band_idx,
+band_key) plus the earlier-band prefix (avg n_bands/2 longs — the
+price of the no-shuffle first-shared-band dedup predicate); the wide
+128-long signatures are joined back onto the (small) candidate set
+afterwards and never ride the big shuffle.
 """
 
 from __future__ import annotations
@@ -31,21 +33,42 @@ def minhash_signatures(prepared: DataFrame, cfg: DedupConfig) -> DataFrame:
 
 
 def minhash_candidates(sigs: DataFrame, cfg: DedupConfig) -> DataFrame:
-    """Distinct candidate pairs (a_id < b_id) sharing >= 1 LSH band."""
+    """Distinct candidate pairs (a_id < b_id) sharing >= 1 LSH band.
+
+    A pair sharing several bands is emitted ONLY in its first shared
+    band — a whole-stage-codegen predicate requires every earlier band
+    position to differ: the same no-shuffle dedup recipe as the
+    SimHash band join (operators/pairs.py) and lsh_topk, instead of a
+    dropDuplicates exchange over the JOIN OUTPUT (worst-case quadratic
+    in a hot bucket).  Each exploded row carries only the PREFIX of
+    earlier band keys it needs (avg n_bands/2 longs — linear
+    transport traded for the unbounded dedup shuffle)."""
     banded = sigs.select(
-        "doc_id", F.posexplode("bands").alias("band_idx", "band_key")
+        "doc_id", "bands",
+        F.posexplode("bands").alias("band_idx", "band_key"),
+    ).select(
+        "doc_id", "band_idx", "band_key",
+        F.expr("slice(bands, 1, band_idx)").alias("prefix"),
     )
     left = banded.select(
-        "band_idx", "band_key", F.col("doc_id").alias("a_id")
+        "band_idx", "band_key", F.col("doc_id").alias("a_id"),
+        F.col("prefix").alias("a_prefix"),
     )
     right = banded.select(
-        "band_idx", "band_key", F.col("doc_id").alias("b_id")
+        "band_idx", "band_key", F.col("doc_id").alias("b_id"),
+        F.col("prefix").alias("b_prefix"),
+    )
+    earlier_match = F.exists(
+        F.zip_with(
+            F.col("a_prefix"), F.col("b_prefix"), lambda x, y: x == y
+        ),
+        lambda m: m,
     )
     return (
         left.join(right, ["band_idx", "band_key"])
         .filter(F.col("a_id") < F.col("b_id"))
+        .filter(~earlier_match)
         .select("a_id", "b_id")
-        .dropDuplicates(["a_id", "b_id"])
     )
 
 

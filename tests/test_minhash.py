@@ -89,3 +89,34 @@ def test_extended_pipeline_catches_borderline_and_containment(spark, ext_result)
             if cl[ids[0]] == cl[ids[1]]:
                 n_contain_hit += 1
     assert n_contain_hit >= 1, "containment path caught nothing"
+
+
+def test_minhash_candidates_have_no_dedup_shuffle(spark):
+    """Candidate dedup is the first-shared-band codegen predicate, not
+    a dropDuplicates exchange over the (worst-case quadratic) join
+    output — and results stay duplicate-free."""
+    import io
+    from contextlib import redirect_stdout
+
+    from simhash_text_dedup_spark.config import DedupConfig
+    from simhash_text_dedup_spark.operators.minhash_pairs import (
+        minhash_candidates,
+        minhash_signatures,
+    )
+
+    cfg = DedupConfig(enable_minhash=True)
+    docs = spark.createDataFrame(
+        [(i, ("alpha beta gamma delta " * 6) + (f"x{i} " * (i % 4)))
+         for i in range(40)],
+        "doc_id long, content string",
+    )
+    cands = minhash_candidates(minhash_signatures(docs, cfg), cfg)
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        cands.explain("formatted")
+    plan = buf.getvalue()
+    assert "HashAggregate" not in plan, plan
+    assert "Deduplicate" not in plan, plan
+    rows = cands.collect()
+    assert len({(r.a_id, r.b_id) for r in rows}) == len(rows)
+    assert len(rows) > 0  # heavy shared shingles guarantee collisions
