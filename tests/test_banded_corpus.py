@@ -296,3 +296,33 @@ def test_append_warns_when_bucket_drifts_hot(spark, db):
         append_banded_corpus(batch, f"{db}.warm", cfg)
     # the batch's rows for the now-hot bucket went to __hot
     assert spark.table(f"{db}.warm__hot").count() >= 8
+
+
+def test_compaction_drops_tombstones_and_preserves_pairs(spark, fps, db):
+    """LSM-style compaction (write_banded_corpus from the merged
+    corpus) must clear the tombstone list and leave the round's pair
+    set unchanged."""
+    _, corpus, _ = _sides(fps)
+    recrawl = corpus.filter(F.col("doc_id") < 10).select(
+        (F.col("doc_id") + 60000).alias("doc_id"), "entity_id",
+        F.col("fingerprint").bitwiseXOR(F.lit(17)).alias("fingerprint"),
+        "score",
+    )
+    write_banded_corpus(corpus, f"{db}.cpt", CFG, n_buckets=8)
+    append_banded_corpus(recrawl, f"{db}.cpt", CFG)
+    assert spark.table(f"{db}.cpt__tombstones").count() == 5
+
+    new_side, *_ = _sides(fps)
+    new_side = new_side.withColumn("entity_id", F.col("doc_id") + 888000)
+    before = _pair_set(
+        candidate_pairs_banded(spark, new_side, f"{db}.cpt", CFG)
+    )
+    merged = _merged(corpus, recrawl)
+    write_banded_corpus(merged, f"{db}.cpt", CFG, n_buckets=8)  # compact
+    spark.catalog.refreshTable(f"{db}.cpt")
+    assert spark.table(f"{db}.cpt__tombstones").count() == 0
+    assert live_doc_count(spark, f"{db}.cpt", CFG) == merged.count()
+    after = _pair_set(
+        candidate_pairs_banded(spark, new_side, f"{db}.cpt", CFG)
+    )
+    assert after == before
