@@ -73,6 +73,17 @@ def main() -> None:
                 p.get("value", 0.0))
 
     best: dict | None = None
+    out_path = os.path.join(REPO, args.out)
+    if os.path.exists(out_path):
+        # resume: never let a worse later attempt overwrite a recorded
+        # better result
+        try:
+            with open(out_path) as f:
+                best = json.load(f)
+            print(f"resuming with recorded best value={best.get('value')} "
+                  f"basis={best.get('basis')}", flush=True)
+        except (OSError, json.JSONDecodeError):
+            best = None
     gate_cleared = False
     bench_failed = False
     for attempt in range(args.attempts):
@@ -111,7 +122,7 @@ def main() -> None:
                 payload["kernel_control_at_launch"] = round(eff, 3)
                 if best is None or _quality(payload) > _quality(best):
                     best = payload
-                    with open(os.path.join(REPO, args.out), "w") as f:
+                    with open(out_path, "w") as f:
                         json.dump(best, f, indent=1)
                 print("scaling:", line, flush=True)
                 if (payload.get("basis") == "clean_pairs"
