@@ -68,9 +68,12 @@ def main() -> None:
     args = ap.parse_args()
 
     def _quality(p: dict) -> tuple:
-        # clean-basis results always beat flagged ones; then by value
-        return (p.get("basis") == "clean_pairs", p.get("n_clean", 0) > 0,
-                p.get("value", 0.0))
+        # a SOLID clean basis (>= 2 clean pairs) outranks flagged
+        # results; a single-clean-pair result does not — a lone clean
+        # 0.638 must not displace a flagged 0.781 (burned once when a
+        # 2M-doc fire did exactly that)
+        solid = p.get("basis") == "clean_pairs" and p.get("n_clean", 0) >= 2
+        return (solid, p.get("value", 0.0))
 
     best: dict | None = None
     out_path = os.path.join(REPO, args.out)

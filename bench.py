@@ -265,6 +265,18 @@ def main_scaling() -> None:
         c_prev = c_after
         if sum(p["clean"] for p in pairs) >= need_clean:
             break
+    # post-hoc T_lo band check: the lo-core leg is per-core-compute
+    # bound and constant across rounds (79.9-85.5 s at 1M docs, ±3%);
+    # a drifted host can deflate OR INFLATE raw efficiency through it
+    # (observed: a T2=118.6 s pair "scored" 0.912), so a pair whose
+    # T_lo sits > 7% off the session median is invalid in either
+    # direction, whatever the controls said.
+    t_lo_key = f"local[{lo}]"
+    t_los = sorted(p[t_lo_key]["sec"] for p in pairs)
+    med_t_lo = t_los[len(t_los) // 2]
+    for p in pairs:
+        p["t_lo_in_band"] = abs(p[t_lo_key]["sec"] - med_t_lo) / med_t_lo <= 0.07
+        p["clean"] = bool(p["clean"] and p["t_lo_in_band"])
     clean = sorted(
         (p for p in pairs if p["clean"]), key=lambda p: p["efficiency"]
     )
