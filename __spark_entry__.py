@@ -947,6 +947,31 @@ def q_substring_lcs(spark, sf):
     return pair_lcs(cands, prepared).select("a_id", "b_id", "contained")
 
 
+def q_substring_verified(spark, sf):
+    # the PIPELINE-facing substring verification stage hash-verified
+    # at lcs_ratio=1.0 (operators/substring.substring_verified_pairs —
+    # the stage run_dedup(enable_substring=True) unions into the pair
+    # set): at ratio 1.0 "LCS covers the whole shorter doc" is exactly
+    # containment, which DuckDB expresses with contains(); fractional
+    # ratios are pinned by tests/test_substring.py threshold tests.
+    from simhash_text_dedup_spark.config import DedupConfig
+    from simhash_text_dedup_spark.operators.minhash_pairs import (
+        minhash_candidates,
+    )
+    from simhash_text_dedup_spark.operators.substring import (
+        substring_verified_pairs,
+    )
+
+    cfg = DedupConfig(
+        minhash_perms=_MH_PERMS, minhash_bands=_MH_BANDS, minhash_rows=_MH_ROWS
+    )
+    cands = minhash_candidates(_surrogate_minhash_sigs(spark, sf), cfg)
+    prepared = _planted_minhash_docs(spark, sf).select(
+        "doc_id", F.col("text").alias("content")
+    )
+    return substring_verified_pairs(cands, prepared, lcs_ratio=1.0)
+
+
 def q_edit_distance_pairs(spark, sf):
     # borderline edit-distance verify, hash-verified: Spark's built-in
     # codegen levenshtein (operators/substring.edit_distance_pairs — no
@@ -1076,6 +1101,22 @@ def _substring_lcs_sql() -> str:
         FROM cands c
         JOIN dd a ON a.doc_id = c.a_id
         JOIN dd b ON b.doc_id = c.b_id
+    """
+
+
+def _substring_verified_sql() -> str:
+    """Twin of substring_verified_pairs at lcs_ratio=1.0: a pair
+    passes iff one doc contains the other (LCS == shorter length)."""
+    return f"""
+        WITH {_minhash_cands_cte()}
+        SELECT c.a_id, c.b_id,
+               CAST(1.0 AS DOUBLE) AS lcs_fraction,
+               'substring' AS kind
+        FROM cands c
+        JOIN dd a ON a.doc_id = c.a_id
+        JOIN dd b ON b.doc_id = c.b_id
+        WHERE length(a.text) > 0 AND length(b.text) > 0
+          AND (contains(b.text, a.text) OR contains(a.text, b.text))
     """
 
 
@@ -1482,6 +1523,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_band_pairs": q_minhash_band_pairs,
         "containment_pairs": q_containment_pairs,
         "substring_lcs": q_substring_lcs,
+        "substring_verified": q_substring_verified,
         "edit_distance_pairs": q_edit_distance_pairs,
         "render_formats": q_render_formats,
         "snapshot_merge": q_snapshot_merge,
@@ -1619,6 +1661,7 @@ def oracle_sql() -> dict[str, str]:
         "minhash_band_pairs": _minhash_surrogate_sql(),
         "containment_pairs": _containment_surrogate_sql(),
         "substring_lcs": _substring_lcs_sql(),
+        "substring_verified": _substring_verified_sql(),
         "edit_distance_pairs": _edit_distance_sql(),
         "embedding_topk_lsh_signbit": _lsh_signbit_sql(),
         "embedding_topk_ivf_axes": _ivf_axes_sql(),

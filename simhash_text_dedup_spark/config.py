@@ -69,6 +69,13 @@ class DedupConfig:
     minhash_shingle_width: int = 3
     jaccard_threshold: float = 0.7
 
+    # --- Suffix-array substring verifier over the same MinHash-band
+    # candidates (north_star's third verifier family): a borderline
+    # pair is confirmed when the longest common substring covers at
+    # least lcs_ratio of the shorter document (containment == 1.0).
+    enable_substring: bool = False
+    lcs_ratio: float = 0.8
+
     # --- Selection semantics: 'cc' (parallel connected components,
     # default) or 'greedy' (reference-exact sequential scan per
     # component; incload/SelectLogicReducer.java:56-104).

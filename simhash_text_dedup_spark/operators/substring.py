@@ -164,13 +164,18 @@ def edit_distance_pairs(
     return out
 
 
-_LCS_SCHEMA = "a_id long, b_id long, lcs_len long, contained boolean"
+_LCS_SCHEMA = (
+    "a_id long, b_id long, lcs_len long, contained boolean, min_len long"
+)
 
 
 def pair_lcs(candidate_pairs: DataFrame, prepared: DataFrame) -> DataFrame:
     """(a_id, b_id) candidates + (doc_id, content) ->
-    (a_id, b_id, lcs_len, contained): longest common substring length
-    per pair and the doc-inside-doc flag (LCS == min length).
+    (a_id, b_id, lcs_len, contained, min_len): longest common substring
+    length per pair, the doc-inside-doc flag (LCS == min length), and
+    the shorter document's byte length (denominator for coverage
+    thresholds: lcs_len / min_len is the fraction of the smaller doc
+    covered by the longest shared block).
 
     Runs as one Arrow batch pass over the candidate set (mapInPandas);
     the per-pair suffix-array construction is numpy prefix doubling —
@@ -190,15 +195,40 @@ def pair_lcs(candidate_pairs: DataFrame, prepared: DataFrame) -> DataFrame:
             bv = pdf["b_content"].to_numpy()
             lcs = np.empty(len(pdf), dtype=np.int64)
             contained = np.empty(len(pdf), dtype=bool)
+            min_len = np.empty(len(pdf), dtype=np.int64)
             for idx in range(len(pdf)):
                 ab = av[idx].encode("utf-8", "surrogatepass")
                 bb = bv[idx].encode("utf-8", "surrogatepass")
                 m = lcs_bytes(ab, bb)
                 lcs[idx] = m
-                contained[idx] = m == min(len(ab), len(bb)) and m > 0
+                min_len[idx] = min(len(ab), len(bb))
+                contained[idx] = m == min_len[idx] and m > 0
             out = pdf[["a_id", "b_id"]].copy()
             out["lcs_len"] = lcs
             out["contained"] = contained
+            out["min_len"] = min_len
             yield out
 
     return joined.mapInPandas(_scan, schema=_LCS_SCHEMA)
+
+
+def substring_verified_pairs(
+    candidate_pairs: DataFrame,
+    prepared: DataFrame,
+    lcs_ratio: float,
+) -> DataFrame:
+    """The pipeline-facing substring verifier (SURVEY §7 M5: the
+    suffix-array check "feeds the same pair-verification stage" as the
+    Hamming and MinHash verifiers): keep a candidate pair when the
+    longest common substring covers >= lcs_ratio of the shorter
+    document.  contained (ratio 1.0) is the strictest special case.
+    Returns (a_id, b_id, lcs_fraction, kind='substring')."""
+    scanned = pair_lcs(candidate_pairs, prepared)
+    frac = F.col("lcs_len") / F.greatest(F.col("min_len"), F.lit(1))
+    return (
+        scanned.withColumn("lcs_fraction", frac)
+        .filter(
+            (F.col("lcs_len") > 0) & (F.col("lcs_fraction") >= F.lit(lcs_ratio))
+        )
+        .select("a_id", "b_id", "lcs_fraction", F.lit("substring").alias("kind"))
+    )

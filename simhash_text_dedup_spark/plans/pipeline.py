@@ -301,8 +301,9 @@ def run_dedup(
     near = near_pairs(distinct_fps, cfg)
     all_pairs = exact_edges.unionByName(near)
 
-    # --- borderline paths (north_star M5): MinHash LSH + containment ---
-    if cfg.enable_minhash or cfg.enable_containment:
+    # --- borderline paths (north_star M5): MinHash LSH + containment
+    # + suffix-array substring — all feed this same pair union ---
+    if cfg.enable_minhash or cfg.enable_containment or cfg.enable_substring:
         from simhash_text_dedup_spark.operators.minhash_pairs import (
             containment_check,
             minhash_candidates,
@@ -323,8 +324,9 @@ def run_dedup(
             all_pairs = all_pairs.withColumn(
                 "hamming", F.col("hamming").cast("int")
             ).unionByName(mh)
-        if cfg.enable_containment:
+        if cfg.enable_containment or cfg.enable_substring:
             cands = minhash_candidates(sigs, cfg)
+        if cfg.enable_containment:
             cont = containment_check(cands, surviving_prepared).select(
                 "a_id",
                 "b_id",
@@ -334,13 +336,30 @@ def run_dedup(
             all_pairs = all_pairs.withColumn(
                 "hamming", F.col("hamming").cast("int")
             ).unionByName(cont)
+        if cfg.enable_substring:
+            from simhash_text_dedup_spark.operators.substring import (
+                substring_verified_pairs,
+            )
+
+            sub = substring_verified_pairs(
+                cands, surviving_prepared, cfg.lcs_ratio
+            ).select(
+                "a_id",
+                "b_id",
+                F.lit(None).cast("int").alias("hamming"),
+                "kind",
+            )
+            all_pairs = all_pairs.withColumn(
+                "hamming", F.col("hamming").cast("int")
+            ).unionByName(sub)
         # a pair may be found by several matchers; keep one row each
-        # (kind priority: exact > near > minhash > containment)
+        # (kind priority: exact > near > minhash > containment > substring)
         prio = (
             F.when(F.col("kind") == "exact", 0)
             .when(F.col("kind") == "near", 1)
             .when(F.col("kind") == "minhash", 2)
-            .otherwise(3)
+            .when(F.col("kind") == "containment", 3)
+            .otherwise(4)
         )
         w = Window.partitionBy("a_id", "b_id").orderBy(prio)
         all_pairs = (

@@ -140,3 +140,69 @@ def test_edit_distance_is_pure_jvm(spark, pair_frames):
     for node in ("BatchEvalPython", "ArrowEvalPython", "MapInPandas",
                  "FlatMapGroupsInPandas"):
         assert node not in plan, plan
+
+
+def test_substring_verified_pairs_threshold(spark):
+    """substring_verified_pairs keeps a pair iff the LCS covers
+    >= lcs_ratio of the shorter doc; containment is the 1.0 case."""
+    from simhash_text_dedup_spark.operators.substring import (
+        substring_verified_pairs,
+    )
+
+    block = "shared block of text " * 10  # 210 chars
+    docs = [
+        (1, block),                                  # contained in 2
+        (2, "HEAD " + block + " TAIL"),
+        (3, block + "unique tail xyzw"),             # ~93% of 3 shared w/ 4
+        (4, block + "other ending qqq"),
+        (5, "completely different content here aaa"),
+        (6, "nothing in common with five bbb ccc"),
+    ]
+    prepared = spark.createDataFrame(docs, "doc_id long, content string")
+    cands = spark.createDataFrame(
+        [(1, 2), (3, 4), (5, 6)], "a_id long, b_id long"
+    )
+    kept = substring_verified_pairs(cands, prepared, lcs_ratio=0.8).collect()
+    got = {(r.a_id, r.b_id): r for r in kept}
+    assert set(got) == {(1, 2), (3, 4)}, kept
+    assert all(r.kind == "substring" for r in kept)
+    assert got[(1, 2)].lcs_fraction == 1.0
+    assert 0.8 <= got[(3, 4)].lcs_fraction < 1.0
+    # strict ratio drops the partial-overlap pair too
+    strict = substring_verified_pairs(cands, prepared, lcs_ratio=0.99).collect()
+    assert {(r.a_id, r.b_id) for r in strict} == {(1, 2)}
+
+
+def test_run_dedup_substring_path_clusters_contain_fixtures(spark):
+    """enable_substring alone (minhash verify + containment both off)
+    must still cluster the F-CONTAIN corpus families: MinHash bands
+    only generate candidates, the suffix-array check confirms them."""
+    from simhash_text_dedup_spark.config import DedupConfig
+    from simhash_text_dedup_spark.plans.pipeline import run_dedup
+    from simhash_text_dedup_spark.sources.corpus import (
+        CorpusSpec,
+        generate_corpus,
+    )
+
+    docs_pdf, man = generate_corpus(CorpusSpec(n_docs=300, seed=42))
+    cfg = DedupConfig(spam_threshold=5, enable_substring=True)
+    res = run_dedup(spark, spark.createDataFrame(docs_pdf), cfg)
+    kinds = {(r.a_id, r.b_id): r.kind for r in res.pairs.collect()}
+    assert any(k == "substring" for k in kinds.values()), (
+        "no substring-verified pairs in the pipeline output"
+    )
+    iddf = (
+        spark.createDataFrame(docs_pdf)
+        .withColumn("doc_id", F.xxhash64("repo", "path", "commit"))
+        .select("doc_id", "repo", "path", "commit")
+        .toPandas()
+    )
+    man2 = man.merge(iddf, on=["repo", "path", "commit"])
+    cl = {r.doc_id: r.cluster_id for r in res.clusters.collect()}
+    n_contain_hit = 0
+    for fam, grp in man2.groupby("family"):
+        if fam.rsplit("-", 1)[0] == "F-CONTAIN" and len(grp.doc_id) == 2:
+            ids = list(grp.doc_id)
+            if cl[ids[0]] == cl[ids[1]]:
+                n_contain_hit += 1
+    assert n_contain_hit >= 1, "substring path clustered no F-CONTAIN family"
