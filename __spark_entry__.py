@@ -535,6 +535,30 @@ def q_cc_clusters(spark, sf):
     return connected_components(pairs.select("a_id", "b_id"))
 
 
+def q_cluster_agreement(spark, sf):
+    # pair-counting clustering evaluation hash-verified (the north
+    # rule's dup-pair-recall metric as a DISTRIBUTED operator,
+    # operators/evaluate.pair_counting_stats — contingency-cell
+    # aggregation, no pair-set materialization): production CC clusters
+    # over the surrogate pairs scored against fingerprint-equality
+    # "golden" clusters; integer-exact permille so DuckDB reproduces
+    # the ratios bit-for-bit.
+    from simhash_text_dedup_spark.config import DedupConfig
+    from simhash_text_dedup_spark.operators.cluster import (
+        connected_components,
+    )
+    from simhash_text_dedup_spark.operators.evaluate import (
+        pair_counting_stats,
+    )
+    from simhash_text_dedup_spark.operators.pairs import near_pairs
+
+    fps = _surrogate_fps(spark, sf)
+    pairs = near_pairs(fps, DedupConfig())
+    pred = connected_components(pairs.select("a_id", "b_id"))
+    gold = fps.select("doc_id", F.col("fingerprint").alias("cluster_id"))
+    return pair_counting_stats(pred, gold)
+
+
 def q_incremental_pairs(spark, sf):
     # §3.1 hash-verified: the PRODUCTION incremental candidate generator
     # (plans/incremental.candidate_pairs — new x new once, new x old
@@ -1515,6 +1539,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bucketed_join": q_bucketed_join,
         "band_join_pairs": q_band_join_pairs,
         "cc_clusters": q_cc_clusters,
+        "cluster_agreement": q_cluster_agreement,
         "greedy_actions": q_greedy_actions,
         "cluster_size_histogram": q_cluster_size_histogram,
         "incremental_pairs": q_incremental_pairs,
@@ -1736,6 +1761,34 @@ def oracle_sql() -> dict[str, str]:
         "cc_clusters": f"""
             WITH RECURSIVE {_SURROGATE_PAIRS_CTE}, {_SURROGATE_CC_CTE}
             SELECT doc_id, cluster_id FROM clusters
+        """,
+        "cluster_agreement": f"""
+            WITH RECURSIVE {_SURROGATE_PAIRS_CTE}, {_SURROGATE_CC_CTE},
+            joined AS (
+              SELECT c.cluster_id AS pred_c, f.fp AS gold_c
+              FROM clusters c JOIN fps f USING (doc_id)
+            ),
+            tp AS (
+              SELECT COALESCE(SUM(n * (n - 1) // 2), 0)::BIGINT AS tp_pairs
+              FROM (SELECT count(*)::BIGINT AS n FROM joined
+                    GROUP BY pred_c, gold_c)
+            ),
+            pp AS (
+              SELECT COALESCE(SUM(n * (n - 1) // 2), 0)::BIGINT AS pred_pairs
+              FROM (SELECT count(*)::BIGINT AS n FROM joined GROUP BY pred_c)
+            ),
+            gp AS (
+              SELECT COALESCE(SUM(n * (n - 1) // 2), 0)::BIGINT AS gold_pairs
+              FROM (SELECT count(*)::BIGINT AS n FROM joined GROUP BY gold_c)
+            )
+            SELECT tp_pairs, pred_pairs, gold_pairs,
+                   CASE WHEN pred_pairs > 0
+                        THEN ((1000 * tp_pairs) // pred_pairs)::BIGINT
+                   END AS precision_permille,
+                   CASE WHEN gold_pairs > 0
+                        THEN ((1000 * tp_pairs) // gold_pairs)::BIGINT
+                   END AS recall_permille
+            FROM tp, pp, gp
         """,
         "scan_filter_project": """
             SELECT doc_id, source, n_chars FROM documents WHERE lang = 'en'
