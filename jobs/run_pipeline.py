@@ -26,6 +26,10 @@ def main() -> None:
     p.add_argument("--selection", choices=["cc", "greedy"], default="cc")
     p.add_argument("--minhash", action="store_true")
     p.add_argument("--containment", action="store_true")
+    p.add_argument("--substring", action="store_true",
+                   help="suffix-array LCS verification of MinHash-band "
+                        "candidates (kind='substring')")
+    p.add_argument("--lcs-ratio", type=float, default=0.8)
     p.add_argument("--resume", action="store_true")
     p.add_argument("--lineage", action="store_true")
     args = p.parse_args()
@@ -41,6 +45,8 @@ def main() -> None:
         selection=args.selection,
         enable_minhash=args.minhash,
         enable_containment=args.containment,
+        enable_substring=args.substring,
+        lcs_ratio=args.lcs_ratio,
     )
     docs = spark.read.parquet(args.input)
     res = run_dedup(
