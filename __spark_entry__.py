@@ -275,6 +275,61 @@ def q_stopword_ratio(spark, sf):
     )
 
 
+def q_repetition_flags(spark, sf):
+    # Gopher-style per-document repetition flags (duplicate-line and
+    # modal-bigram mass), integer-exact permille; explode -> two-level
+    # groupBy, never a per-row O(n^2) array scan.
+    from simhash_text_dedup_spark.operators.repetition import repetition_stats
+
+    return repetition_stats(_docs(spark, sf))
+
+
+def q_boilerplate_strip(spark, sf):
+    # corpus-level boilerplate-line removal (CCNet/C4-style): plant a
+    # shared footer line on every document, then strip lines occurring
+    # more than twice corpus-wide; survivors rejoin in original order,
+    # so kept_text must round-trip back to the source text exactly.
+    from simhash_text_dedup_spark.operators.repetition import (
+        strip_boilerplate_lines,
+    )
+
+    d = _docs(spark, sf).withColumn(
+        "text", F.concat(F.col("text"), F.lit("\nSHARED-FOOTER-LINE"))
+    )
+    return strip_boilerplate_lines(d, max_line_occurrences=2)
+
+
+def q_doc_fingerprint_md5(spark, sf):
+    # engine-independent digest fingerprint (the reference's MD5 docid
+    # analog) + deterministic hash sampling: fp % 8 == 0 is the same
+    # reproducible 1/8 slice in any engine.
+    from simhash_text_dedup_spark.functions.text import doc_fingerprint_md5
+
+    d = _docs(spark, sf)
+    fp = doc_fingerprint_md5(F.col("text"))
+    return d.select(
+        "doc_id",
+        fp.alias("fp"),
+        (fp % 8 == 0).alias("in_sample"),
+    )
+
+
+def q_decontaminate(spark, sf):
+    # benchmark decontamination (GPT-3/Gopher-style eval hygiene): docs
+    # with doc_id % 97 == 0 act as the held-out benchmark; every other
+    # document sharing an exact word 5-gram with it is flagged. The
+    # benchmark gram set is broadcast — the corpus side never shuffles
+    # on a text key.
+    from simhash_text_dedup_spark.operators.decontaminate import (
+        contaminated_docs,
+    )
+
+    d = _docs(spark, sf)
+    bench = d.filter(F.col("doc_id") % 97 == 0)
+    corpus = d.filter(F.col("doc_id") % 97 != 0)
+    return contaminated_docs(corpus, bench, ngram_width=5)
+
+
 def q_code_normalize(spark, sf):
     # code-payload normalizer chain (P5 analog for source code:
     # comment stripping + whitespace collapse, JVM regex, SQL twin)
@@ -1528,6 +1583,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_hourly": q_events_hourly,
         "activity_bitmap": q_activity_bitmap,
         "token_stats": q_token_stats,
+        "repetition_flags": q_repetition_flags,
+        "boilerplate_strip": q_boilerplate_strip,
+        "decontaminate": q_decontaminate,
+        "doc_fingerprint_md5": q_doc_fingerprint_md5,
         "token_count_bpe": q_token_count_bpe,
         "code_normalize": q_code_normalize,
         "stopword_ratio": q_stopword_ratio,
@@ -1930,6 +1989,105 @@ def oracle_sql() -> dict[str, str]:
                      1000 - abs(avg_token_len_milli - 5000) // 10
                           - digit_permille))::BIGINT AS quality_permille
             FROM m
+        """,
+        "repetition_flags": """
+            WITH pl AS (
+              SELECT doc_id, line, count(*) AS cnt, length(line) AS chars
+              FROM (SELECT doc_id,
+                           unnest(string_split(text, chr(10))) AS line
+                    FROM documents)
+              GROUP BY doc_id, line
+            ), la AS (
+              SELECT doc_id, sum(cnt)::BIGINT AS n_lines,
+                     (sum(cnt) - count(*))::BIGINT AS dup_occ,
+                     sum(cnt * chars)::BIGINT AS total_chars,
+                     sum(CASE WHEN cnt > 1 THEN cnt * chars
+                              ELSE 0 END)::BIGINT AS dup_chars
+              FROM pl GROUP BY doc_id
+            ), t AS (
+              SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+            ), pb AS (
+              SELECT doc_id, bg, count(*) AS cnt
+              FROM (SELECT doc_id,
+                           unnest(list_transform(range(1, len(toks)),
+                                  i -> toks[i] || ' ' || toks[i + 1])) AS bg
+                    FROM t)
+              GROUP BY doc_id, bg
+            ), ba AS (
+              SELECT doc_id, max(cnt)::BIGINT AS top_cnt,
+                     sum(cnt)::BIGINT AS n_bg
+              FROM pb GROUP BY doc_id
+            )
+            SELECT la.doc_id, n_lines,
+                   CASE WHEN n_lines = 0 THEN 0
+                        ELSE (1000 * dup_occ) // n_lines
+                   END::BIGINT AS dup_line_permille,
+                   CASE WHEN total_chars = 0 THEN 0
+                        ELSE (1000 * dup_chars) // total_chars
+                   END::BIGINT AS dup_line_char_permille,
+                   coalesce(n_bg, 0)::BIGINT AS n_bigrams,
+                   CASE WHEN n_bg IS NULL OR n_bg = 0 THEN 0
+                        ELSE (1000 * top_cnt) // n_bg
+                   END::BIGINT AS top_bigram_permille
+            FROM la LEFT JOIN ba ON la.doc_id = ba.doc_id
+        """,
+        "doc_fingerprint_md5": """
+            WITH f AS (
+              SELECT doc_id,
+                     list_reduce(
+                       list_transform(range(1, 16),
+                         i -> CAST(strpos('0123456789abcdef',
+                                          substr(md5(text), i, 1)) - 1
+                                   AS BIGINT)),
+                       (a, b) -> a * 16 + b) AS fp
+              FROM documents
+            )
+            SELECT doc_id, fp, fp % 8 = 0 AS in_sample FROM f
+        """,
+        "decontaminate": """
+            WITH g AS (
+              SELECT doc_id,
+                     unnest(list_transform(range(1, len(toks) - 3),
+                            i -> array_to_string(list_slice(toks, i, i + 4),
+                                                 ' '))) AS gram
+              FROM (SELECT doc_id, string_split(text, ' ') AS toks
+                    FROM documents)
+              WHERE len(toks) >= 5
+            ), b AS (
+              SELECT DISTINCT gram FROM g WHERE doc_id % 97 = 0
+            )
+            SELECT doc_id, count(*)::BIGINT AS n_hits
+            FROM g JOIN b USING (gram)
+            WHERE doc_id % 97 <> 0
+            GROUP BY doc_id
+        """,
+        "boilerplate_strip": """
+            WITH src AS (
+              SELECT doc_id,
+                     text || chr(10) || 'SHARED-FOOTER-LINE' AS text
+              FROM documents
+            ), t AS (
+              SELECT doc_id, string_split(text, chr(10)) AS ls FROM src
+            ), l AS (
+              SELECT doc_id, s['pos'] AS pos, s['line'] AS line
+              FROM (SELECT doc_id,
+                           unnest(list_transform(range(1, len(ls) + 1),
+                                  i -> {'pos': i - 1, 'line': ls[i]})) AS s
+                    FROM t)
+            ), hot AS (
+              SELECT line FROM l WHERE length(line) >= 1
+              GROUP BY line HAVING count(*) > 2
+            ), k AS (
+              SELECT l.doc_id, l.pos, l.line,
+                     hot.line IS NULL AS keep
+              FROM l LEFT JOIN hot ON l.line = hot.line
+            )
+            SELECT doc_id, count(*)::BIGINT AS n_lines,
+                   sum(CASE WHEN keep THEN 1 ELSE 0 END)::BIGINT AS n_kept,
+                   coalesce(string_agg(CASE WHEN keep THEN line END,
+                                       chr(10) ORDER BY pos),
+                            '') AS kept_text
+            FROM k GROUP BY doc_id
         """,
         "code_normalize": _code_normalize_sql(),
         "token_count_bpe": f"""

@@ -121,3 +121,14 @@ def quality_permille(text: Column) -> Column:
 def doc_fingerprint(text: Column) -> Column:
     """64-bit rolling document fingerprint (content digest), JVM-side."""
     return F.xxhash64(text)
+
+
+def doc_fingerprint_md5(text: Column, hex_chars: int = 15) -> Column:
+    """60-bit MD5-prefix content fingerprint (the reference's digest
+    docid is MD5-based, spider/common/util/MD5.java:89-113).  Unlike
+    xxhash64, MD5 is standardized across engines, so this variant is
+    exactly SQL-reproducible; 15 hex chars = 60 bits keeps the value
+    inside a signed BIGINT.  Doubles as the key for deterministic
+    hash sampling (fp % k == r selects a uniform, reproducible,
+    engine-independent slice)."""
+    return F.conv(F.substring(F.md5(text), 1, hex_chars), 16, 10).cast("bigint")

@@ -1,0 +1,68 @@
+"""Benchmark decontamination (operators/decontaminate.py): exact
+n-gram hit semantics, repeat counting, width edges, anti-join output,
+and the broadcast-join plan shape."""
+
+from pyspark.sql import functions as F
+
+from simhash_text_dedup_spark.operators.decontaminate import (
+    contaminated_docs,
+    decontaminate,
+)
+
+
+def _df(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_hit_semantics(spark):
+    bench = _df(spark, [(100, "the quick brown fox jumps over the lazy dog")])
+    corpus = _df(
+        spark,
+        [
+            (1, "xx the quick brown fox jumps yy"),   # shares a 5-gram
+            (2, "quick brown fox leaps over fences"), # only 3-gram overlap
+            (3, "completely unrelated text here now"),
+        ],
+    )
+    hits = {r.doc_id: r.n_hits for r in
+            contaminated_docs(corpus, bench, ngram_width=5).collect()}
+    assert hits == {1: 1}  # exactly 'the quick brown fox jumps'
+
+    kept = sorted(
+        r.doc_id
+        for r in decontaminate(corpus, bench, ngram_width=5).collect()
+    )
+    assert kept == [2, 3]
+
+
+def test_repeated_gram_counts_each_position(spark):
+    bench = _df(spark, [(100, "a b c d e")])
+    corpus = _df(spark, [(1, "a b c d e z a b c d e")])
+    hits = contaminated_docs(corpus, bench, ngram_width=5).collect()
+    assert hits[0].n_hits == 2
+
+
+def test_short_docs_have_no_grams(spark):
+    bench = _df(spark, [(100, "a b c d e")])
+    corpus = _df(spark, [(1, "a b c d"), (2, "")])
+    assert contaminated_docs(corpus, bench, ngram_width=5).count() == 0
+    assert decontaminate(corpus, bench, ngram_width=5).count() == 2
+
+
+def test_benchmark_side_is_broadcast(spark):
+    bench = _df(spark, [(100, "a b c d e")])
+    corpus = _df(spark, [(1, "a b c d e f")])
+    import io
+    from contextlib import redirect_stdout
+
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        contaminated_docs(corpus, bench, ngram_width=5).explain("formatted")
+    plan = buf.getvalue()
+    assert "BroadcastHashJoin" in plan
+    # exactly one gram exchange: the benchmark side's distinct().  A
+    # second one would mean the corpus side is being shuffled on the
+    # text key, which the broadcast exists to prevent.
+    import re
+
+    assert len(re.findall(r"hashpartitioning\(gram#\d+", plan)) == 1, plan
