@@ -282,7 +282,10 @@ def main_scaling() -> None:
     )
     ranked_all = sorted(pairs, key=lambda p: p["efficiency"])
     basis = clean if clean else ranked_all
-    med = basis[len(basis) // 2]
+    # median PAIR (need the dict, not an average); for even-sized bases
+    # take the LOWER middle element — the conservative read, so a
+    # 2-clean-pair fire reports its weaker pair, never its stronger one
+    med = basis[(len(basis) - 1) // 2]
     out = {
         "metric": f"scaling_efficiency_{lo}_to_{hi}",
         "value": med["efficiency"],
