@@ -1500,6 +1500,61 @@ def _ivf_axes_sql() -> str:
     """
 
 
+def q_semdedup(spark, sf):
+    # SemDeDup (Abbas et al. 2023) hash-verified end-to-end: the
+    # PRODUCTION operator — Arrow assignment UDF, broadcast centroid
+    # join, within-cluster pairwise screen, dominance semi-join
+    # (operators/semdedup.py) — with the same literal axis centroids
+    # the IVF oracle uses; only the k-means training is non-SQL and
+    # that family is pinned by test_similarity/test_semdedup
+    from simhash_text_dedup_spark.operators.semdedup import semdedup
+
+    emb = _read(spark, sf, "embeddings")
+    return semdedup(
+        emb, threshold=0.3, centroids=_axis_centroids()
+    ).select("vec_id", F.col("list_id").cast("bigint").alias("list_id"), "action")
+
+
+def _semdedup_sql() -> str:
+    """DuckDB twin of the axis-centroid SemDeDup screen: assignment =
+    argmax of the first n_lists dims (ties toward the lower list),
+    centroid_sim = v[j]/||v|| (axis centroids are unit one-hots), a
+    member is deleted iff a same-list member with lower centroid_sim
+    (ties toward lower vec_id) is >= threshold cosine-similar."""
+    L = _IVF_AXES_LISTS
+    return f"""
+        WITH e AS (
+          SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+        ), ca AS (
+          SELECT vec_id, v, unnest(range({L})) AS list_id,
+                 unnest(v[1:{L}]) AS sim
+          FROM e
+        ), ra AS (
+          SELECT vec_id, v, list_id, sim,
+                 row_number() OVER (PARTITION BY vec_id
+                                    ORDER BY sim DESC, list_id) AS rn
+          FROM ca
+        ), a AS (
+          SELECT vec_id, v, list_id,
+                 sim / sqrt(list_dot_product(v, v)) AS csim
+          FROM ra WHERE rn = 1
+        ), dom AS (
+          SELECT DISTINCT x.vec_id
+          FROM a x JOIN a y
+            ON x.list_id = y.list_id AND x.vec_id != y.vec_id
+          WHERE (y.csim < x.csim
+                 OR (y.csim = x.csim AND y.vec_id < x.vec_id))
+            AND list_dot_product(x.v, y.v)
+                / (sqrt(list_dot_product(x.v, x.v))
+                   * sqrt(list_dot_product(y.v, y.v))) >= 0.3
+        )
+        SELECT s.vec_id, s.list_id::BIGINT AS list_id,
+               CASE WHEN d.vec_id IS NOT NULL
+                    THEN 'delete' ELSE 'keep' END AS action
+        FROM a s LEFT JOIN dom d ON d.vec_id = s.vec_id
+    """
+
+
 def q_incremental_round(spark, sf):
     # incremental new-vs-old dedup round (SURVEY §3.1/§2.9; rows-only)
     from simhash_text_dedup_spark.config import DedupConfig
@@ -1621,6 +1676,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_topk_ivf_disk": q_embedding_topk_ivf_disk,
         "embedding_topk_ivf_axes": q_embedding_topk_ivf_axes,
         "embedding_topk_ivf_disk_axes": q_embedding_topk_ivf_disk_axes,
+        "semdedup": q_semdedup,
         "multimodal_features": q_multimodal_features,
         "incremental_round": q_incremental_round,
         "simhash_clusters_greedy": q_simhash_clusters_greedy,
@@ -1750,6 +1806,7 @@ def oracle_sql() -> dict[str, str]:
         "embedding_topk_lsh_signbit": _lsh_signbit_sql(),
         "embedding_topk_ivf_axes": _ivf_axes_sql(),
         "embedding_topk_ivf_disk_axes": _ivf_axes_sql(),
+        "semdedup": _semdedup_sql(),
         "render_formats": f"""
             WITH {_SURROGATE_PAIRS_CTE}
             SELECT doc_id,
