@@ -330,6 +330,49 @@ def q_decontaminate(spark, sf):
     return contaminated_docs(corpus, bench, ngram_width=5)
 
 
+def _plant_shared_tail(d):
+    # plant a shared 8-word passage on every third document so the
+    # dup-span operators have guaranteed cross-doc duplication to find
+    # (same device as q_boilerplate_strip's shared footer); natural
+    # duplication in the fixture text is detected identically by both
+    # engines on top of it
+    return d.withColumn(
+        "text",
+        F.when(
+            F.col("doc_id") % 3 == 0,
+            F.concat(
+                F.col("text"),
+                F.lit(" LICENSE HEADER ALPHA BETA GAMMA DELTA EPSILON ZETA"),
+            ),
+        ).otherwise(F.col("text")),
+    )
+
+
+def q_dup_spans(spark, sf):
+    # cross-doc duplicate-span detection (Lee et al. exact-substring
+    # dedup, n-gram-anchored): duplicated word 5-grams -> maximal
+    # per-doc spans via gaps-and-islands
+    from simhash_text_dedup_spark.operators.dupspans import dup_spans
+
+    d = _plant_shared_tail(_docs(spark, sf))
+    return dup_spans(d, width=5, min_docs=2).select(
+        "doc_id",
+        F.col("span_start").cast("bigint").alias("span_start"),
+        F.col("span_end").cast("bigint").alias("span_end"),
+        "n_grams",
+    )
+
+
+def q_dup_span_strip(spark, sf):
+    # span REMOVAL: non-owner copies lose the shared passage, the
+    # owning (min doc_id) copy survives verbatim; reassembly must
+    # round-trip word positions exactly
+    from simhash_text_dedup_spark.operators.dupspans import strip_dup_spans
+
+    d = _plant_shared_tail(_docs(spark, sf))
+    return strip_dup_spans(d, width=5, min_docs=2)
+
+
 def q_code_normalize(spark, sf):
     # code-payload normalizer chain (P5 analog for source code:
     # comment stripping + whitespace collapse, JVM regex, SQL twin)
@@ -1641,6 +1684,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "repetition_flags": q_repetition_flags,
         "boilerplate_strip": q_boilerplate_strip,
         "decontaminate": q_decontaminate,
+        "dup_spans": q_dup_spans,
+        "dup_span_strip": q_dup_span_strip,
         "doc_fingerprint_md5": q_doc_fingerprint_md5,
         "token_count_bpe": q_token_count_bpe,
         "code_normalize": q_code_normalize,
@@ -1753,6 +1798,36 @@ _SURROGATE_CC_CTE = """
   clusters AS (
     SELECT id AS doc_id, min(label) AS cluster_id
     FROM reach GROUP BY id
+  )
+"""
+
+
+# DuckDB twin of q_dup_spans/q_dup_span_strip's planted corpus + word
+# 5-gram positions + duplicated-gram election (owner = min doc_id).
+# Plain string (not f-string): the struct literals use braces.
+_DUPSPAN_CTE = """
+  src AS (
+    SELECT doc_id,
+           CASE WHEN doc_id % 3 = 0
+                THEN text ||
+                     ' LICENSE HEADER ALPHA BETA GAMMA DELTA EPSILON ZETA'
+                ELSE text END AS text
+    FROM documents
+  ),
+  t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM src),
+  g AS (
+    SELECT doc_id, s['pos'] AS pos, s['gram'] AS gram
+    FROM (SELECT doc_id,
+                 unnest(list_transform(range(1, len(toks) - 3),
+                        i -> {'pos': i - 1,
+                              'gram': array_to_string(
+                                        list_slice(toks, i, i + 4), ' ')}))
+                   AS s
+          FROM t WHERE len(toks) >= 5)
+  ),
+  d AS (
+    SELECT gram, count(DISTINCT doc_id) AS n_docs, min(doc_id) AS owner
+    FROM g GROUP BY gram HAVING count(DISTINCT doc_id) >= 2
   )
 """
 
@@ -2144,6 +2219,55 @@ def oracle_sql() -> dict[str, str]:
                    coalesce(string_agg(CASE WHEN keep THEN line END,
                                        chr(10) ORDER BY pos),
                             '') AS kept_text
+            FROM k GROUP BY doc_id
+        """,
+        "dup_spans": f"""
+            WITH {_DUPSPAN_CTE},
+            h AS (SELECT g.doc_id, g.pos FROM g JOIN d USING (gram)),
+            i AS (
+              SELECT doc_id, pos,
+                     CASE WHEN pos - lag(pos) OVER (PARTITION BY doc_id
+                                                    ORDER BY pos) > 5
+                          THEN 1 ELSE 0 END AS ni
+              FROM h
+            ),
+            s AS (
+              SELECT doc_id, pos,
+                     sum(ni) OVER (PARTITION BY doc_id ORDER BY pos
+                                   ROWS UNBOUNDED PRECEDING) AS isl
+              FROM i
+            )
+            SELECT doc_id, min(pos)::BIGINT AS span_start,
+                   (max(pos) + 4)::BIGINT AS span_end,
+                   count(*)::BIGINT AS n_grams
+            FROM s GROUP BY doc_id, isl
+        """,
+        "dup_span_strip": f"""
+            WITH {_DUPSPAN_CTE},
+            h AS (SELECT g.doc_id, g.pos FROM g JOIN d USING (gram)
+                  WHERE g.doc_id != d.owner),
+            cov AS (
+              SELECT DISTINCT doc_id, wpos FROM (
+                SELECT doc_id, pos + unnest(range(5)) AS wpos FROM h)
+            ),
+            w AS (
+              SELECT doc_id, s['pos'] AS wpos, s['word'] AS word
+              FROM (SELECT doc_id,
+                           unnest(list_transform(range(1, len(toks) + 1),
+                                  i -> {{'pos': i - 1, 'word': toks[i]}}))
+                             AS s
+                    FROM t)
+            ),
+            k AS (
+              SELECT w.doc_id, w.wpos, w.word, cov.wpos IS NULL AS keep
+              FROM w LEFT JOIN cov
+                ON w.doc_id = cov.doc_id AND w.wpos = cov.wpos
+            )
+            SELECT doc_id, count(*)::BIGINT AS n_words,
+                   sum(CASE WHEN keep THEN 0 ELSE 1 END)::BIGINT AS n_removed,
+                   coalesce(string_agg(CASE WHEN keep THEN word END,
+                                       ' ' ORDER BY wpos), '')
+                     AS stripped_text
             FROM k GROUP BY doc_id
         """,
         "code_normalize": _code_normalize_sql(),
