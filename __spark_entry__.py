@@ -348,6 +348,15 @@ def _plant_shared_tail(d):
     )
 
 
+def q_temperature_sample(spark, sf):
+    # data-mixing: alpha=0.5 temperature stratified sample over the
+    # language groups — integer-exact quotas (floor-sqrt weights,
+    # integer division), md5-ordered deterministic row selection
+    from simhash_text_dedup_spark.operators.mixing import temperature_sample
+
+    return temperature_sample(_docs(spark, sf), "lang", 200)
+
+
 def q_dup_spans(spark, sf):
     # cross-doc duplicate-span detection (Lee et al. exact-substring
     # dedup, n-gram-anchored): duplicated word 5-grams -> maximal
@@ -1684,6 +1693,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "repetition_flags": q_repetition_flags,
         "boilerplate_strip": q_boilerplate_strip,
         "decontaminate": q_decontaminate,
+        "temperature_sample": q_temperature_sample,
         "dup_spans": q_dup_spans,
         "dup_span_strip": q_dup_span_strip,
         "doc_fingerprint_md5": q_doc_fingerprint_md5,
@@ -2220,6 +2230,32 @@ def oracle_sql() -> dict[str, str]:
                                        chr(10) ORDER BY pos),
                             '') AS kept_text
             FROM k GROUP BY doc_id
+        """,
+        "temperature_sample": """
+            WITH c AS (
+              SELECT lang AS "group", count(*)::BIGINT AS n_docs
+              FROM documents GROUP BY lang
+            ), w AS (
+              SELECT "group", n_docs,
+                     floor(sqrt(n_docs))::BIGINT AS weight
+              FROM c
+            ), q AS (
+              SELECT "group",
+                     (200 * weight) // (SELECT sum(weight) FROM w) AS quota
+              FROM w
+            ), r AS (
+              SELECT doc_id, lang AS "group",
+                     md5(doc_id::VARCHAR) AS hkey
+              FROM documents
+            ), rk AS (
+              SELECT r.doc_id, r."group", q.quota,
+                     row_number() OVER (PARTITION BY r."group"
+                                        ORDER BY r.hkey, r.doc_id)
+                       AS sample_rank
+              FROM r JOIN q USING ("group")
+            )
+            SELECT doc_id, "group", sample_rank::BIGINT AS sample_rank
+            FROM rk WHERE sample_rank <= quota
         """,
         "dup_spans": f"""
             WITH {_DUPSPAN_CTE},

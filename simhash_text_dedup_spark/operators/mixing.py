@@ -1,0 +1,110 @@
+"""Data mixing: temperature-weighted stratified sampling per group.
+
+The standard multi-source training-mix recipe (multilingual BERT /
+XLM-R, Conneau et al. 2020 §3.1; also the per-domain mixture weighting
+in GPT-3 §2.2): sample group g with probability proportional to
+p_g^alpha, alpha < 1 flattening the natural distribution so head
+groups stop dominating and tail groups are upsampled relative to
+their share.
+
+This implementation fixes alpha = 0.5 and computes the weights as
+floor(sqrt(count)) — INTEGER square roots, so the quota arithmetic is
+exact integer division in any engine (CLAUDE.md rule 4: cross-engine
+float rounding disagrees at boundaries; IEEE sqrt is correctly rounded
+and floor() of it is engine-portable for counts < 2^52).  Other
+temperatures: pass a precomputed `weights` table.
+
+Row selection inside a group is deterministic hash ordering —
+row_number over (md5(doc_id), doc_id) — i.e. an unbiased, reproducible
+pseudo-random sample that any engine replays bit-for-bit (the same
+device as doc_fingerprint_md5's fp % k sampling).
+
+Plan shape (the 100-TB consideration): the group-count aggregation is
+a map-side-combined hash agg (one row per group); the quota table is
+tiny and BROADCAST back onto the corpus; the only corpus-sized
+exchange is the hash partition on the group key that the per-group
+row_number window needs.  A skewed group costs one wide window
+partition — at that point cap the group's quota and pre-filter with
+fp-mod sampling (functions/text.py) so the window only ranks a
+bounded candidate set.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from simhash_text_dedup_spark.functions.text import _idiv
+
+
+def temperature_quotas(
+    corpus: DataFrame,
+    group_col: str,
+    total: int,
+    *,
+    weights: DataFrame | None = None,
+) -> DataFrame:
+    """(group, n_docs, weight, quota): per-group target counts.
+    quota_g = total * w_g // sum(w), w_g = floor(sqrt(n_docs)) unless a
+    (group, weight) table overrides it.  Floor shares: the quotas sum
+    to <= total (the remainder is deliberately unassigned — determinism
+    beats hitting `total` exactly)."""
+    counts = corpus.groupBy(F.col(group_col).alias("group")).agg(
+        F.count(F.lit(1)).alias("n_docs")
+    )
+    if weights is not None:
+        counts = counts.join(
+            F.broadcast(
+                weights.select(
+                    F.col(group_col).alias("group"),
+                    F.col("weight").cast("bigint").alias("weight"),
+                )
+            ),
+            "group",
+        )
+    else:
+        counts = counts.withColumn(
+            "weight", F.floor(F.sqrt(F.col("n_docs"))).cast("bigint")
+        )
+    # scalar weight total via a broadcast single-row aggregate (not an
+    # unpartitioned window — same result, no single-partition stage)
+    w_sum = counts.agg(F.sum("weight").alias("_w_sum"))
+    return (
+        counts.crossJoin(F.broadcast(w_sum))
+        .withColumn(
+            "quota",
+            _idiv(
+                (F.lit(int(total)) * F.col("weight")).cast("bigint"),
+                F.col("_w_sum"),
+            ),
+        )
+        .select("group", "n_docs", "weight", "quota")
+    )
+
+
+def temperature_sample(
+    corpus: DataFrame,
+    group_col: str,
+    total: int,
+    *,
+    id_col: str = "doc_id",
+    weights: DataFrame | None = None,
+) -> DataFrame:
+    """(doc_id, group, sample_rank): a deterministic stratified sample
+    of ~`total` rows with group shares flattened by the alpha=0.5
+    temperature.  Within each group rows are ranked by
+    (md5(id), id) — a reproducible unbiased order — and the first
+    quota_g survive."""
+    quotas = temperature_quotas(corpus, group_col, total, weights=weights)
+    w = Window.partitionBy("group").orderBy("_hkey", "doc_id")
+    return (
+        corpus.select(
+            F.col(id_col).alias("doc_id"),
+            F.col(group_col).alias("group"),
+            F.md5(F.col(id_col).cast("string")).alias("_hkey"),
+        )
+        .join(F.broadcast(quotas.select("group", "quota")), "group")
+        .withColumn("sample_rank", F.row_number().over(w))
+        .filter(F.col("sample_rank") <= F.col("quota"))
+        .select("doc_id", "group", F.col("sample_rank").cast("bigint").alias("sample_rank"))
+    )
