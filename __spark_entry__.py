@@ -348,6 +348,24 @@ def _plant_shared_tail(d):
     )
 
 
+def q_quality_filter(spark, sf):
+    # composite Gopher-style rule battery; thresholds tightened to the
+    # fixture's metric distribution so several rules fire (token
+    # window, mean-token-length window, stopword floor, modal-bigram
+    # cap) and the reasons strings are non-trivial
+    from simhash_text_dedup_spark.operators.quality import quality_filter
+
+    return quality_filter(
+        _docs(spark, sf),
+        min_tokens=30,
+        max_tokens=80,
+        min_atl_milli=4300,
+        max_atl_milli=4700,
+        min_stopwords=2,
+        max_top_bigram_permille=50,
+    )
+
+
 def q_temperature_sample(spark, sf):
     # data-mixing: alpha=0.5 temperature stratified sample over the
     # language groups — integer-exact quotas (floor-sqrt weights,
@@ -1693,6 +1711,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "repetition_flags": q_repetition_flags,
         "boilerplate_strip": q_boilerplate_strip,
         "decontaminate": q_decontaminate,
+        "quality_filter": q_quality_filter,
         "temperature_sample": q_temperature_sample,
         "dup_spans": q_dup_spans,
         "dup_span_strip": q_dup_span_strip,
@@ -2230,6 +2249,74 @@ def oracle_sql() -> dict[str, str]:
                                        chr(10) ORDER BY pos),
                             '') AS kept_text
             FROM k GROUP BY doc_id
+        """,
+        "quality_filter": f"""
+            WITH pl AS (
+              SELECT doc_id, line, count(*) AS cnt, length(line) AS chars
+              FROM (SELECT doc_id,
+                           unnest(string_split(text, chr(10))) AS line
+                    FROM documents)
+              GROUP BY doc_id, line
+            ), la AS (
+              SELECT doc_id, sum(cnt)::BIGINT AS n_lines,
+                     (sum(cnt) - count(*))::BIGINT AS dup_occ
+              FROM pl GROUP BY doc_id
+            ), tt AS (
+              SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+            ), pb AS (
+              SELECT doc_id, bg, count(*) AS cnt
+              FROM (SELECT doc_id,
+                           unnest(list_transform(range(1, len(toks)),
+                                  i -> toks[i] || ' ' || toks[i + 1])) AS bg
+                    FROM tt)
+              GROUP BY doc_id, bg
+            ), ba AS (
+              SELECT doc_id, max(cnt)::BIGINT AS top_cnt,
+                     sum(cnt)::BIGINT AS n_bg
+              FROM pb GROUP BY doc_id
+            ), m AS (
+              SELECT d.doc_id,
+                     CASE WHEN d.text = '' THEN 0
+                          ELSE len(string_split(d.text, ' '))
+                     END::BIGINT AS n_tokens,
+                     CASE WHEN d.text = '' THEN 0
+                          ELSE (1000 * (length(d.text)
+                                        - (len(string_split(d.text, ' ')) - 1)))
+                               // len(string_split(d.text, ' '))
+                     END::BIGINT AS atl_milli,
+                     len(list_filter(string_split(d.text, ' '),
+                         w -> list_contains({stop_list}, w)))::BIGINT
+                       AS stop_hits,
+                     CASE WHEN length(d.text) = 0 THEN 0
+                          ELSE (1000 * (length(d.text)
+                                - length(regexp_replace(d.text, '[0-9]',
+                                                        '', 'g'))))
+                               // length(d.text)
+                     END::BIGINT AS digit_pm,
+                     CASE WHEN la.n_lines = 0 THEN 0
+                          ELSE (1000 * la.dup_occ) // la.n_lines
+                     END::BIGINT AS dup_line_pm,
+                     CASE WHEN ba.n_bg IS NULL OR ba.n_bg = 0 THEN 0
+                          ELSE (1000 * ba.top_cnt) // ba.n_bg
+                     END::BIGINT AS top_bg_pm
+              FROM documents d
+              JOIN la ON la.doc_id = d.doc_id
+              LEFT JOIN ba ON ba.doc_id = d.doc_id
+            ), r AS (
+              SELECT doc_id, n_tokens,
+                     concat_ws(',',
+                       CASE WHEN n_tokens < 30 THEN 'too_few_tokens' END,
+                       CASE WHEN n_tokens > 80 THEN 'too_many_tokens' END,
+                       CASE WHEN atl_milli < 4300 OR atl_milli > 4700
+                            THEN 'token_len' END,
+                       CASE WHEN stop_hits < 2 THEN 'stopwords' END,
+                       CASE WHEN digit_pm > 200 THEN 'digits' END,
+                       CASE WHEN dup_line_pm > 300 THEN 'dup_lines' END,
+                       CASE WHEN top_bg_pm > 50 THEN 'top_bigram' END
+                     ) AS reasons
+              FROM m
+            )
+            SELECT doc_id, n_tokens, reasons, reasons = '' AS keep FROM r
         """,
         "temperature_sample": """
             WITH c AS (
