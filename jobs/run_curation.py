@@ -9,12 +9,19 @@ alongside the near-dup pipeline).
         [--repetition] [--strip-boilerplate] [--max-line-occ N]
         [--decontaminate <benchmark parquet>] [--ngram-width N]
         [--sample-mod K] [--sample-rem R]
+        [--quality] [--strip-dup-spans] [--span-width N] [--span-min-docs N]
+        [--temperature-sample N --group-col lang]
+        [--semdedup <embeddings parquet>] [--semdedup-threshold X]
 
 Outputs (each a parquet dir under --output, only when requested):
     repetition/      per-doc Gopher-style repetition flags
     stripped/        boilerplate-line-removed corpus (doc_id, kept_text)
     contaminated/    docs sharing an n-gram with the benchmark set
     sample/          deterministic MD5 hash sample (fp % K == R)
+    quality/         composite rule-battery flags (doc_id, reasons, keep)
+    despanned/       cross-doc duplicate-span-stripped corpus
+    mixed/           temperature-weighted stratified sample
+    semdedup/        embedding-cluster semantic dedup actions
 
 The input only needs (doc_id, text)-shaped columns; pass --id-col /
 --text-col for other names.
@@ -43,6 +50,22 @@ def main() -> None:
     p.add_argument("--sample-mod", type=int, default=None, metavar="K",
                    help="write the deterministic fp %% K == R hash sample")
     p.add_argument("--sample-rem", type=int, default=0, metavar="R")
+    p.add_argument("--quality", action="store_true",
+                   help="composite Gopher-style quality rule battery")
+    p.add_argument("--strip-dup-spans", action="store_true",
+                   help="remove cross-doc duplicated word spans "
+                        "(owner copy survives)")
+    p.add_argument("--span-width", type=int, default=8)
+    p.add_argument("--span-min-docs", type=int, default=2)
+    p.add_argument("--temperature-sample", type=int, default=None,
+                   metavar="TOTAL",
+                   help="alpha=0.5 temperature stratified sample size")
+    p.add_argument("--group-col", default="lang")
+    p.add_argument("--semdedup", default=None, metavar="EMB_PARQUET",
+                   help="embeddings table (vec_id, embedding) for "
+                        "semantic dedup")
+    p.add_argument("--semdedup-threshold", type=float, default=0.9)
+    p.add_argument("--semdedup-lists", type=int, default=64)
     args = p.parse_args()
 
     from pyspark.sql import SparkSession
@@ -89,6 +112,42 @@ def main() -> None:
         docs.filter(fp % args.sample_mod == args.sample_rem).write.mode(
             "overwrite"
         ).parquet(f"{args.output}/sample")
+    if args.quality:
+        from simhash_text_dedup_spark.operators.quality import quality_filter
+
+        quality_filter(docs, **kw).write.mode("overwrite").parquet(
+            f"{args.output}/quality"
+        )
+    if args.strip_dup_spans:
+        from simhash_text_dedup_spark.operators.dupspans import (
+            strip_dup_spans,
+        )
+
+        strip_dup_spans(
+            docs,
+            width=args.span_width,
+            min_docs=args.span_min_docs,
+            hash_grams=True,
+            **kw,
+        ).write.mode("overwrite").parquet(f"{args.output}/despanned")
+    if args.temperature_sample:
+        from simhash_text_dedup_spark.operators.mixing import (
+            temperature_sample,
+        )
+
+        temperature_sample(
+            docs, args.group_col, args.temperature_sample,
+            id_col=args.id_col,
+        ).write.mode("overwrite").parquet(f"{args.output}/mixed")
+    if args.semdedup:
+        from simhash_text_dedup_spark.operators.semdedup import semdedup
+
+        emb = spark.read.parquet(args.semdedup)
+        semdedup(
+            emb,
+            threshold=args.semdedup_threshold,
+            n_lists=args.semdedup_lists,
+        ).write.mode("overwrite").parquet(f"{args.output}/semdedup")
 
 
 if __name__ == "__main__":

@@ -68,3 +68,58 @@ def test_run_curation_all_outputs(spark, tmp_path, monkeypatch):
 
     # sample-mod 1 selects everything: the sample is the full corpus
     assert spark.read.parquet(f"{out}/sample").count() == 4
+
+
+def test_run_curation_new_outputs(spark, tmp_path, monkeypatch):
+    shared = "alpha beta gamma delta epsilon zeta eta theta"
+    docs = spark.createDataFrame(
+        [
+            (1, f"u1 u2 {shared} v1 v2 v3 v4", "en"),
+            (2, f"w1 {shared} w2 w3 w4 w5 w6", "en"),
+            (3, "totally different content here now ok", "de"),
+            (4, "short", "de"),
+        ],
+        "doc_id long, text string, lang string",
+    )
+    emb = spark.createDataFrame(
+        [(i, [float(i == j) for j in range(8)]) for i in range(6)]
+        + [(100, [1.0] + [0.0] * 7)],  # near-dup of vec 0
+        "vec_id long, embedding array<float>",
+    )
+    inp, epath, out = (str(tmp_path / d) for d in ("in", "emb", "out"))
+    docs.write.parquet(inp)
+    emb.write.parquet(epath)
+
+    monkeypatch.setattr(
+        sys,
+        "argv",
+        [
+            "run_curation.py",
+            "--input", inp, "--output", out,
+            "--quality",
+            "--strip-dup-spans", "--span-width", "5",
+            "--temperature-sample", "3", "--group-col", "lang",
+            "--semdedup", epath, "--semdedup-threshold", "0.9",
+            "--semdedup-lists", "4",
+        ],
+    )
+    _load_job().main()
+
+    q = spark.read.parquet(f"{out}/quality")
+    assert set(q.columns) == {"doc_id", "n_tokens", "reasons", "keep"}
+    assert q.count() == 4
+
+    despanned = {
+        r.doc_id: r for r in spark.read.parquet(f"{out}/despanned").collect()
+    }
+    assert despanned[1].n_removed == 0          # owner keeps the passage
+    assert despanned[2].n_removed == 8          # non-owner loses it
+
+    mixed = spark.read.parquet(f"{out}/mixed").collect()
+    assert 0 < len(mixed) <= 3
+
+    sd = {r.vec_id: r.action for r in
+          spark.read.parquet(f"{out}/semdedup").collect()}
+    assert len(sd) == 7
+    # identical direction pair (0, 100): exactly one survives
+    assert {sd[0], sd[100]} == {"keep", "delete"}
