@@ -64,7 +64,13 @@ def assign_clusters(
     c = corpus.select(
         "vec_id", F.col("embedding").cast("array<double>").alias("v")
     ).withColumn("list_id", assign1(F.col("v"))[0])
-    return c.join(F.broadcast(cent_df), "list_id").select(
+    # left join, not inner: an inner join pushes an IsNotNull(list_id)
+    # filter below the projection, and Catalyst then evaluates the
+    # assignment UDF TWICE (once for the filter, once for the project).
+    # list_id is an argmax over the centroid table, always present, so
+    # left == inner here — and the plan keeps ONE Arrow stage
+    # (asserted in test_plans).
+    return c.join(F.broadcast(cent_df), "list_id", "left").select(
         "vec_id",
         "v",
         "list_id",

@@ -214,3 +214,56 @@ def test_spread_input_file_path_never_converts_to_rdd(spark, tmp_path):
     with patch.object(_DF, "rdd", property(_boom)):
         out = spread_input(docs, 4)
     assert out.count() == 100
+
+
+def test_dup_spans_corpus_side_never_exchanges_on_gram(spark):
+    """dup_spans' only corpus-sized exchanges are the gram-frequency
+    aggregation itself; the positions side joins the (small) dup-gram
+    table via broadcast, and the island merge exchanges on doc_id —
+    the full corpus gram stream is never hash-partitioned for a join."""
+    import re
+
+    from simhash_text_dedup_spark.operators.dupspans import dup_spans
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    plan = _plan(dup_spans(docs, width=5, min_docs=2))
+    assert "BroadcastHashJoin" in plan, plan
+    # exchanges: gram-agg (distinct expand + count) and the doc_id
+    # window — no SortMergeJoin exchange pair on the gram key
+    assert "SortMergeJoin" not in plan, plan
+    assert len(re.findall(r"hashpartitioning\(doc_id#\d+L?, \d+\)", plan)) == 1, plan
+
+
+def test_semdedup_broadcasts_centroids_single_arrow_stage(spark):
+    """semdedup: the centroid table joins via broadcast; cluster
+    assignment is ONE Arrow pandas-UDF pass (no row-at-a-time
+    BatchEvalPython anywhere)."""
+    import re
+
+    import numpy as np
+
+    from simhash_text_dedup_spark.operators.semdedup import assign_clusters
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    plan = _plan(assign_clusters(emb, np.eye(8, 64)))
+    assert "BroadcastHashJoin" in plan, plan
+    # one numbered ArrowEvalPython node (the formatted tree lists each
+    # node twice: summary + detail)
+    assert len(re.findall(r"\(\d+\) ArrowEvalPython", plan)) == 1, plan
+    assert "BatchEvalPython" not in plan, plan
+
+
+def test_temperature_sample_broadcasts_quotas(spark):
+    """The per-group quota table joins back onto the corpus via
+    broadcast; the corpus exchanges once, on the group key the window
+    ranking needs anyway."""
+    import re
+
+    from simhash_text_dedup_spark.operators.mixing import temperature_sample
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    plan = _plan(temperature_sample(docs, "lang", 100))
+    assert "BroadcastHashJoin" in plan, plan
+    assert "SortMergeJoin" not in plan, plan
+    # corpus-side single exchange on the group key
+    assert len(re.findall(r"hashpartitioning\(group#\d+L?, \d+\)", plan)) <= 2, plan
