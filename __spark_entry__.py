@@ -348,6 +348,44 @@ def _plant_shared_tail(d):
     )
 
 
+def q_pii_scrub(spark, sf):
+    # PII/secret redaction sweep (Pile/StarCoder-style): plant known
+    # email/IP/secret literals on subsets so every pattern class fires;
+    # the operator itself is a pure codegen map (no exchange, no UDF —
+    # plan-asserted in test_scrub_vocab)
+    from simhash_text_dedup_spark.operators.scrub import pii_scrub
+
+    d = _docs(spark, sf)
+    d = d.withColumn(
+        "text",
+        F.when(
+            F.col("doc_id") % 5 == 0,
+            F.concat(
+                F.col("text"),
+                F.lit("\ncontact: alice.smith@example.com or 10.0.42.7"),
+            ),
+        ).otherwise(F.col("text")),
+    ).withColumn(
+        "text",
+        F.when(
+            F.col("doc_id") % 7 == 0,
+            F.concat(
+                F.col("text"),
+                F.lit("\ntoken = deadbeefdeadbeefdeadbeefdeadbeef"),
+            ),
+        ).otherwise(F.col("text")),
+    )
+    return pii_scrub(d)
+
+
+def q_top_ngrams(spark, sf):
+    # corpus-wide bigram vocabulary top-k (tokenizer-training counting
+    # pass): one two-level aggregation, TakeOrderedAndProject top-k
+    from simhash_text_dedup_spark.operators.vocab import top_ngrams
+
+    return top_ngrams(_docs(spark, sf), width=2, k=50)
+
+
 def q_quality_filter(spark, sf):
     # composite Gopher-style rule battery; thresholds tightened to the
     # fixture's metric distribution so several rules fire (token
@@ -1711,6 +1749,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "repetition_flags": q_repetition_flags,
         "boilerplate_strip": q_boilerplate_strip,
         "decontaminate": q_decontaminate,
+        "pii_scrub": q_pii_scrub,
+        "top_ngrams": q_top_ngrams,
         "quality_filter": q_quality_filter,
         "temperature_sample": q_temperature_sample,
         "dup_spans": q_dup_spans,
@@ -2249,6 +2289,62 @@ def oracle_sql() -> dict[str, str]:
                                        chr(10) ORDER BY pos),
                             '') AS kept_text
             FROM k GROUP BY doc_id
+        """,
+        "pii_scrub": r"""
+            WITH src AS (
+              SELECT doc_id,
+                     CASE WHEN doc_id % 7 = 0 THEN base ||
+                            chr(10) ||
+                            'token = deadbeefdeadbeefdeadbeefdeadbeef'
+                          ELSE base END AS text
+              FROM (
+                SELECT doc_id,
+                       CASE WHEN doc_id % 5 = 0 THEN text ||
+                              chr(10) ||
+                              'contact: alice.smith@example.com or 10.0.42.7'
+                            ELSE text END AS base
+                FROM documents)
+            )
+            SELECT doc_id,
+                   len(regexp_extract_all(text,
+                     '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}'))::BIGINT
+                     AS n_email,
+                   len(regexp_extract_all(text,
+                     '([0-9]{1,3}\.){3}[0-9]{1,3}'))::BIGINT AS n_ipv4,
+                   len(regexp_extract_all(text,
+                     '[0-9a-f]{32,}'))::BIGINT AS n_secret,
+                   regexp_replace(
+                     regexp_replace(
+                       regexp_replace(text,
+                         '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}',
+                         '<EMAIL>', 'g'),
+                       '([0-9]{1,3}\.){3}[0-9]{1,3}', '<IP>', 'g'),
+                     '[0-9a-f]{32,}', '<SECRET>', 'g') AS scrubbed_text
+            FROM src
+        """,
+        "top_ngrams": """
+            WITH t AS (
+              SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+            ), g AS (
+              SELECT doc_id,
+                     unnest(list_transform(range(1, len(toks)),
+                            i -> toks[i] || ' ' || toks[i + 1])) AS gram
+              FROM t WHERE len(toks) >= 2
+            ), pd AS (
+              SELECT gram, doc_id, count(*) AS cnt
+              FROM g GROUP BY gram, doc_id
+            ), tot AS (
+              SELECT gram, sum(cnt)::BIGINT AS n_occurrences,
+                     count(*)::BIGINT AS n_docs
+              FROM pd GROUP BY gram
+            ), top AS (
+              SELECT gram, n_occurrences, n_docs,
+                     row_number() OVER (ORDER BY n_occurrences DESC, gram)
+                       AS rank
+              FROM tot
+            )
+            SELECT gram, n_occurrences, n_docs, rank::BIGINT AS rank
+            FROM top WHERE rank <= 50
         """,
         "quality_filter": f"""
             WITH pl AS (

@@ -12,6 +12,7 @@ alongside the near-dup pipeline).
         [--quality] [--strip-dup-spans] [--span-width N] [--span-min-docs N]
         [--temperature-sample N --group-col lang]
         [--semdedup <embeddings parquet>] [--semdedup-threshold X]
+        [--pii-scrub] [--vocab-top K] [--vocab-width N]
 
 Outputs (each a parquet dir under --output, only when requested):
     repetition/      per-doc Gopher-style repetition flags
@@ -22,6 +23,8 @@ Outputs (each a parquet dir under --output, only when requested):
     despanned/       cross-doc duplicate-span-stripped corpus
     mixed/           temperature-weighted stratified sample
     semdedup/        embedding-cluster semantic dedup actions
+    scrubbed/        PII/secret-redacted corpus + per-class counts
+    vocab/           corpus-wide top-k n-gram frequency table
 
 The input only needs (doc_id, text)-shaped columns; pass --id-col /
 --text-col for other names.
@@ -66,6 +69,11 @@ def main() -> None:
                         "semantic dedup")
     p.add_argument("--semdedup-threshold", type=float, default=0.9)
     p.add_argument("--semdedup-lists", type=int, default=64)
+    p.add_argument("--pii-scrub", action="store_true",
+                   help="redact email/IP/secret literals")
+    p.add_argument("--vocab-top", type=int, default=None, metavar="K",
+                   help="write the corpus-wide top-K n-gram table")
+    p.add_argument("--vocab-width", type=int, default=1)
     args = p.parse_args()
 
     from pyspark.sql import SparkSession
@@ -148,6 +156,18 @@ def main() -> None:
             threshold=args.semdedup_threshold,
             n_lists=args.semdedup_lists,
         ).write.mode("overwrite").parquet(f"{args.output}/semdedup")
+    if args.pii_scrub:
+        from simhash_text_dedup_spark.operators.scrub import pii_scrub
+
+        pii_scrub(docs, **kw).write.mode("overwrite").parquet(
+            f"{args.output}/scrubbed"
+        )
+    if args.vocab_top:
+        from simhash_text_dedup_spark.operators.vocab import top_ngrams
+
+        top_ngrams(
+            docs, width=args.vocab_width, k=args.vocab_top, **kw
+        ).write.mode("overwrite").parquet(f"{args.output}/vocab")
 
 
 if __name__ == "__main__":
