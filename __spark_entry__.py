@@ -348,6 +348,15 @@ def _plant_shared_tail(d):
     )
 
 
+def q_pack_sequences(spark, sf):
+    # sequence-packing manifest (concat-and-chunk LM layout): shard by
+    # the portable MD5-prefix fingerprint, per-shard running token sum,
+    # integer-exact sequence interval per document
+    from simhash_text_dedup_spark.operators.packing import pack_sequences
+
+    return pack_sequences(_docs(spark, sf), seq_len=512, n_shards=8)
+
+
 def q_pii_scrub(spark, sf):
     # PII/secret redaction sweep (Pile/StarCoder-style): plant known
     # email/IP/secret literals on subsets so every pattern class fires;
@@ -1749,6 +1758,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "repetition_flags": q_repetition_flags,
         "boilerplate_strip": q_boilerplate_strip,
         "decontaminate": q_decontaminate,
+        "pack_sequences": q_pack_sequences,
         "pii_scrub": q_pii_scrub,
         "top_ngrams": q_top_ngrams,
         "quality_filter": q_quality_filter,
@@ -2289,6 +2299,33 @@ def oracle_sql() -> dict[str, str]:
                                        chr(10) ORDER BY pos),
                             '') AS kept_text
             FROM k GROUP BY doc_id
+        """,
+        "pack_sequences": """
+            WITH f AS (
+              SELECT doc_id,
+                     CASE WHEN text = '' THEN 0
+                          ELSE len(string_split(text, ' '))
+                     END::BIGINT AS n_tokens,
+                     list_reduce(
+                       list_transform(range(1, 16),
+                         i -> CAST(strpos('0123456789abcdef',
+                                          substr(md5(text), i, 1)) - 1
+                                   AS BIGINT)),
+                       (a, b) -> a * 16 + b) AS fp
+              FROM documents
+            ), c AS (
+              SELECT doc_id, n_tokens, fp % 8 AS shard,
+                     sum(n_tokens) OVER (PARTITION BY fp % 8
+                                         ORDER BY fp, doc_id
+                                         ROWS UNBOUNDED PRECEDING) AS cum
+              FROM f
+            )
+            SELECT doc_id, shard::BIGINT AS shard, n_tokens,
+                   (cum - n_tokens)::BIGINT AS token_offset,
+                   ((cum - n_tokens) // 512)::BIGINT AS first_seq,
+                   (greatest(cum - n_tokens, cum - 1) // 512)::BIGINT
+                     AS last_seq
+            FROM c
         """,
         "pii_scrub": r"""
             WITH src AS (
