@@ -112,6 +112,7 @@ def main_default() -> None:
         "embedding_topk_lsh",
         "exact_dup_groups",
         "simhash_clusters",
+        "dup_spans",
     ]
     timings: dict[str, float] = {}
     for name in headline:

@@ -19,22 +19,50 @@ text key.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 
-def _word_ngrams(text_col: str, width: int) -> F.Column:
-    """Array of whitespace-word n-grams of the given width (in-row;
-    empty when the document has fewer than `width` tokens).  The
-    sequence bound is guarded: Spark's sequence(1, n) runs DESCENDING
-    for n < 1 rather than returning an empty array."""
-    return F.expr(
-        f"CASE WHEN size(split({text_col}, ' ')) < {width}"
-        f" THEN array()"
-        f" ELSE transform("
-        f"   sequence(1, size(split({text_col}, ' ')) - {width} + 1),"
-        f"   i -> concat_ws(' ', slice(split({text_col}, ' '), i, {width})))"
-        f" END"
+def _ngrams_from_tokens(toks: Column, width: int) -> Column:
+    """Array of word n-grams built from an ALREADY-SPLIT token array.
+
+    Callers must materialize the split in its own projection
+    (`.select(split(text).alias("__toks"))`, then build grams from
+    `__toks` in a second select): referencing split(text) inline would
+    re-split the document inside the per-element transform lambda —
+    O(tokens) work per gram, quadratic per document (measured 6s for
+    1.5 MB of text before this split-once rewrite).  Catalyst keeps
+    the two projections separate because the token array is referenced
+    more than once.
+
+    The sequence bound is guarded: Spark's sequence(1, n) runs
+    DESCENDING for n < 1 rather than returning an empty array."""
+    n = F.size(toks)
+    return F.when(
+        n < width, F.array().cast("array<string>")
+    ).otherwise(
+        F.transform(
+            F.sequence(F.lit(1), n - F.lit(width) + F.lit(1)),
+            lambda i: F.concat_ws(" ", F.slice(toks, i, width)),
+        )
+    )
+
+
+def _word_ngrams(text_col: str, width: int) -> Column:
+    """In-row n-gram array straight from the text column — only for
+    expressions that are evaluated ONCE per row outside a lambda; any
+    explode/posexplode consumer should pre-split (see
+    _ngrams_from_tokens)."""
+    return _ngrams_from_tokens(F.split(F.col(text_col), " "), width)
+
+
+def _gram_rows(
+    corpus: DataFrame, width: int, id_col: str, text_col: str
+) -> DataFrame:
+    """(doc_id, __toks) with the split materialized once per document."""
+    return corpus.select(
+        F.col(id_col).alias("doc_id"),
+        F.split(F.col(text_col), " ").alias("__toks"),
     )
 
 
@@ -52,14 +80,19 @@ def contaminated_docs(
     counts each occurrence).  Decontaminate by anti-joining this
     result against the corpus."""
     bench_grams = (
-        benchmark.select(
-            F.explode(_word_ngrams(text_col, ngram_width)).alias("gram")
+        _gram_rows(benchmark, ngram_width, id_col, text_col)
+        .select(
+            F.explode(
+                _ngrams_from_tokens(F.col("__toks"), ngram_width)
+            ).alias("gram")
         )
         .distinct()
     )
-    corpus_grams = corpus.select(
-        F.col(id_col).alias("doc_id"),
-        F.explode(_word_ngrams(text_col, ngram_width)).alias("gram"),
+    corpus_grams = _gram_rows(corpus, ngram_width, id_col, text_col).select(
+        "doc_id",
+        F.explode(_ngrams_from_tokens(F.col("__toks"), ngram_width)).alias(
+            "gram"
+        ),
     )
     return (
         corpus_grams.join(F.broadcast(bench_grams), "gram")

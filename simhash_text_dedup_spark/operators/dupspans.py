@@ -48,17 +48,21 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from .decontaminate import _word_ngrams
+from .decontaminate import _gram_rows, _ngrams_from_tokens
 
 
 def _gram_positions(
     corpus: DataFrame, width: int, id_col: str, text_col: str
 ) -> DataFrame:
     """(doc_id, pos, gram): every word n-gram with its 0-based start
-    position; documents shorter than ``width`` words emit nothing."""
-    return corpus.select(
-        F.col(id_col).alias("doc_id"),
-        F.posexplode(_word_ngrams(text_col, width)).alias("pos", "gram"),
+    position; documents shorter than ``width`` words emit nothing.
+    The split is materialized once per document (split-once rule, see
+    _ngrams_from_tokens)."""
+    return _gram_rows(corpus, width, id_col, text_col).select(
+        "doc_id",
+        F.posexplode(_ngrams_from_tokens(F.col("__toks"), width)).alias(
+            "pos", "gram"
+        ),
     )
 
 

@@ -19,7 +19,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from .decontaminate import _word_ngrams
+from .decontaminate import _gram_rows, _ngrams_from_tokens
 
 
 def top_ngrams(
@@ -34,9 +34,12 @@ def top_ngrams(
     ``width``-grams corpus-wide; ties broken by gram value so the
     ranking is total and engine-portable."""
     per_doc = (
-        corpus.select(
-            F.col(id_col).alias("doc_id"),
-            F.explode(_word_ngrams(text_col, width)).alias("gram"),
+        _gram_rows(corpus, width, id_col, text_col)
+        .select(
+            "doc_id",
+            F.explode(_ngrams_from_tokens(F.col("__toks"), width)).alias(
+                "gram"
+            ),
         )
         .groupBy("gram", "doc_id")
         .agg(F.count(F.lit(1)).alias("cnt"))
