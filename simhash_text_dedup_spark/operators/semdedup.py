@@ -78,6 +78,24 @@ def assign_clusters(
     )
 
 
+def _dominated_in(a: DataFrame, b: DataFrame, keys: list, threshold: float) -> DataFrame:
+    """vec_ids on the a side dominated by a b-side member sharing the
+    join keys: >= threshold cosine-similar with higher keep-priority
+    (lower centroid_sim — the duplicate-group representative is the
+    member LEAST similar to the centroid, SemDeDup §3; vec_id breaks
+    exact ties deterministically)."""
+    return (
+        a.join(b, keys)
+        .filter(F.col("a_id") != F.col("b_id"))
+        .filter(
+            (F.col("b_csim") < F.col("a_csim"))
+            | ((F.col("b_csim") == F.col("a_csim")) & (F.col("b_id") < F.col("a_id")))
+        )
+        .filter(_cosine(F.col("a_v"), F.col("b_v")) >= F.lit(float(threshold)))
+        .select(F.col("a_id").alias("vec_id"))
+    )
+
+
 def semdedup(
     corpus: DataFrame,
     *,
@@ -87,6 +105,8 @@ def semdedup(
     sample_mod: int = 1,
     sample_cap: int = 20_000,
     centroids: np.ndarray | None = None,
+    list_size_cap: int = 10_000,
+    salt_partitions: int = 16,
 ) -> DataFrame:
     """corpus(vec_id, embedding) -> (vec_id, list_id, action) with
     action in {'keep', 'delete'}.
@@ -98,7 +118,17 @@ def semdedup(
 
     `centroids` (n_lists x dim) skips the k-means and pins the cluster
     geometry — the oracle / testing hook, same contract as
-    similarity.ivf_topk."""
+    similarity.ivf_topk.
+
+    Hot clusters (> `list_size_cap` members) would serialize their
+    |list|^2 cosine screen into one join task; they are routed to a
+    salted sub-join instead (the probe side carries a deterministic
+    salt, the build side is replicated once per salt value), spreading
+    the quadratic block across `salt_partitions` tasks — the same
+    remedy as the hot band buckets in operators/pairs.py.  Routing is
+    correctness-independent: every cluster is entirely cold or
+    entirely hot, and within a hot cluster each (a, b) pair meets in
+    exactly one salt."""
     c = corpus.select("vec_id", F.col("embedding").cast("array<double>").alias("v"))
     cent = (
         np.asarray(centroids, dtype=np.float64)
@@ -110,30 +140,37 @@ def semdedup(
     # stage would execute three times (same trick as ivf_probe)
     assigned = assign_clusters(corpus, cent).localCheckpoint(eager=False)
 
-    a = assigned.select(
-        F.col("vec_id").alias("a_id"),
-        F.col("v").alias("a_v"),
-        "list_id",
-        F.col("centroid_sim").alias("a_csim"),
+    # hot-cluster histogram: tiny (one row per over-cap list), broadcast
+    hot = (
+        assigned.groupBy("list_id")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .filter(F.col("n") > int(list_size_cap))
+        .select("list_id")
+        .localCheckpoint(eager=False)
     )
-    b = assigned.select(
-        F.col("vec_id").alias("b_id"),
-        F.col("v").alias("b_v"),
-        "list_id",
-        F.col("centroid_sim").alias("b_csim"),
-    )
-    dominated = (
-        a.join(b, "list_id")
-        .filter(F.col("a_id") != F.col("b_id"))
-        # b outranks a: the duplicate-group representative is the
-        # member LEAST similar to the centroid (SemDeDup §3), vec_id
-        # breaks exact ties deterministically
-        .filter(
-            (F.col("b_csim") < F.col("a_csim"))
-            | ((F.col("b_csim") == F.col("a_csim")) & (F.col("b_id") < F.col("a_id")))
+    cold = assigned.join(F.broadcast(hot), "list_id", "left_anti")
+    hot_rows = assigned.join(F.broadcast(hot), "list_id", "left_semi")
+
+    def _side(df, prefix):
+        return df.select(
+            F.col("vec_id").alias(f"{prefix}_id"),
+            F.col("v").alias(f"{prefix}_v"),
+            "list_id",
+            F.col("centroid_sim").alias(f"{prefix}_csim"),
         )
-        .filter(_cosine(F.col("a_v"), F.col("b_v")) >= F.lit(float(threshold)))
-        .select(F.col("a_id").alias("vec_id"))
+
+    dominated = _dominated_in(
+        _side(cold, "a"), _side(cold, "b"), ["list_id"], threshold
+    )
+    s = int(salt_partitions)
+    a_hot = _side(hot_rows, "a").withColumn(
+        "salt", F.pmod(F.xxhash64("a_id"), F.lit(s)).cast("int")
+    )
+    b_hot = _side(hot_rows, "b").withColumn(
+        "salt", F.explode(F.array(*[F.lit(i) for i in range(s)]))
+    )
+    dominated = dominated.unionByName(
+        _dominated_in(a_hot, b_hot, ["list_id", "salt"], threshold)
     )
     # one left join with a flag (not a semi + anti pair) so the
     # assignment stage — which carries the Arrow UDF pass — is scanned
@@ -148,28 +185,11 @@ def semdedup(
     )
 
 
-def semdedup_survivors(
-    corpus: DataFrame,
-    *,
-    threshold: float = 0.9,
-    n_lists: int = 64,
-    seed: int = 42,
-    sample_mod: int = 1,
-    sample_cap: int = 20_000,
-    centroids: np.ndarray | None = None,
-) -> DataFrame:
+def semdedup_survivors(corpus: DataFrame, **kwargs) -> DataFrame:
     """The corpus rows that survive semantic dedup (original schema) —
     the left_semi composition callers feed straight into training-set
-    assembly."""
-    actions = semdedup(
-        corpus,
-        threshold=threshold,
-        n_lists=n_lists,
-        seed=seed,
-        sample_mod=sample_mod,
-        sample_cap=sample_cap,
-        centroids=centroids,
-    )
+    assembly.  Accepts every `semdedup` keyword."""
+    actions = semdedup(corpus, **kwargs)
     return corpus.join(
         actions.filter(F.col("action") == "keep").select("vec_id"),
         "vec_id",

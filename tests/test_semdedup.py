@@ -102,3 +102,32 @@ def test_semdedup_survivors_composition(spark):
     assert {r.vec_id for r in surv} == keep_ids
     # original schema preserved (incl. passenger columns like label)
     assert set(surv[0].asDict()) == set(emb.columns)
+
+
+def test_hot_cluster_salt_routing_parity(spark):
+    # every vector with a dominant dim-0 coordinate lands in list 0 ->
+    # a planted hot cluster; a tiny cap forces it through the salted
+    # sub-join, which must produce byte-identical actions vs the
+    # plain path (cap high enough that nothing is hot)
+    from pyspark.sql import functions as F  # noqa: F811
+
+    emb = _emb(spark).select("vec_id", "embedding").limit(120)
+    hot = emb.select(
+        (F.col("vec_id") + 5000).alias("vec_id"),
+        F.expr(
+            "transform(embedding, (x, i) -> CASE WHEN i = 0 "
+            "THEN float(10.0 + pmod(vec_id, 7)) ELSE x END)"
+        ).alias("embedding"),
+    )
+    docs = emb.unionByName(hot)
+    kw = dict(threshold=0.3, centroids=_axis_centroids())
+    plain = sorted(
+        map(tuple, semdedup(docs, list_size_cap=10_000, **kw).collect())
+    )
+    salted = sorted(
+        map(tuple, semdedup(docs, list_size_cap=50, salt_partitions=4, **kw).collect())
+    )
+    assert plain == salted
+    # the planted rows really did form a hot list 0 larger than the cap
+    n_list0 = sum(1 for _, lid, _ in plain if lid == 0)
+    assert n_list0 > 50
