@@ -2500,11 +2500,16 @@ def oracle_sql() -> dict[str, str]:
         """,
         "dup_span_strip": f"""
             WITH {_DUPSPAN_CTE},
-            h AS (SELECT g.doc_id, g.pos FROM g JOIN d USING (gram)
-                  WHERE g.doc_id != d.owner),
+            h AS (SELECT g.doc_id, g.pos, (g.doc_id = d.owner) AS owned
+                  FROM g JOIN d USING (gram)),
             cov AS (
               SELECT DISTINCT doc_id, wpos FROM (
-                SELECT doc_id, pos + unnest(range(5)) AS wpos FROM h)
+                SELECT doc_id, pos + unnest(range(5)) AS wpos
+                FROM h WHERE NOT owned)
+              EXCEPT
+              SELECT DISTINCT doc_id, wpos FROM (
+                SELECT doc_id, pos + unnest(range(5)) AS wpos
+                FROM h WHERE owned)
             ),
             w AS (
               SELECT doc_id, s['pos'] AS wpos, s['word'] AS word

@@ -48,14 +48,6 @@ def _ngrams_from_tokens(toks: Column, width: int) -> Column:
     )
 
 
-def _word_ngrams(text_col: str, width: int) -> Column:
-    """In-row n-gram array straight from the text column — only for
-    expressions that are evaluated ONCE per row outside a lambda; any
-    explode/posexplode consumer should pre-split (see
-    _ngrams_from_tokens)."""
-    return _ngrams_from_tokens(F.split(F.col(text_col), " "), width)
-
-
 def _gram_rows(
     corpus: DataFrame, width: int, id_col: str, text_col: str
 ) -> DataFrame:
@@ -79,8 +71,10 @@ def contaminated_docs(
     n-gram POSITIONS in the document (a repeated contaminated gram
     counts each occurrence).  Decontaminate by anti-joining this
     result against the corpus."""
+    # the benchmark side needs only the text column (no id contract:
+    # callers may pass a bare text table)
     bench_grams = (
-        _gram_rows(benchmark, ngram_width, id_col, text_col)
+        benchmark.select(F.split(F.col(text_col), " ").alias("__toks"))
         .select(
             F.explode(
                 _ngrams_from_tokens(F.col("__toks"), ngram_width)

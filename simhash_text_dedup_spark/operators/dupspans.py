@@ -106,9 +106,10 @@ def dup_spans(
 ) -> DataFrame:
     """(doc_id, span_start, span_end, n_grams): maximal duplicated
     spans per document, in word coordinates (span covers words
-    [span_start, span_end] inclusive).  With ``skip_owned`` the
-    positions whose gram this document owns are exempt first — the
-    span report then matches what strip_dup_spans would remove."""
+    [span_start, span_end] inclusive).  With ``skip_owned`` the grams
+    this document owns are exempt first — the report then covers only
+    non-owned duplication (strip_dup_spans additionally protects word
+    positions that an owned gram overlaps, see its docstring)."""
     hits = dup_gram_hits(
         corpus,
         width=width,
@@ -154,11 +155,16 @@ def strip_dup_spans(
     hash_grams: bool = False,
 ) -> DataFrame:
     """(doc_id, n_words, n_removed, stripped_text): every word position
-    covered by a duplicated gram this document does NOT own is removed;
-    the owner document keeps its copy, so exactly one copy of each
-    shared passage survives corpus-wide.  Survivors rejoin by ' ' in
-    original order (single-space tokenization round-trips exactly,
-    concat_ws keeps empty tokens)."""
+    covered by a duplicated gram this document does NOT own — and by no
+    gram it DOES own — is removed.  The owned-position exemption is the
+    survival guarantee: each duplicated gram's words are protected in
+    its owner document, so every shared passage survives somewhere.
+    Without it, overlapping grams with DIFFERENT owners could delete
+    every copy of a passage corpus-wide (doc A owns the left gram,
+    doc B the right one, a third doc owns neither: removing all
+    non-owned positions in A and B kills the overlap in both).
+    Survivors rejoin by ' ' in original order (single-space
+    tokenization round-trips exactly, concat_ws keeps empty tokens)."""
     hits = dup_gram_hits(
         corpus,
         width=width,
@@ -166,13 +172,23 @@ def strip_dup_spans(
         id_col=id_col,
         text_col=text_col,
         hash_grams=hash_grams,
-    ).filter(F.col("doc_id") != F.col("owner_doc"))
-    covered = hits.select(
-        "doc_id",
-        F.explode(
-            F.sequence(F.col("pos"), F.col("pos") + F.lit(width - 1))
-        ).alias("wpos"),
-    ).distinct()
+    ).localCheckpoint(eager=False)
+
+    def _positions(df):
+        return df.select(
+            "doc_id",
+            F.explode(
+                F.sequence(F.col("pos"), F.col("pos") + F.lit(width - 1))
+            ).alias("wpos"),
+        ).distinct()
+
+    covered = _positions(
+        hits.filter(F.col("doc_id") != F.col("owner_doc"))
+    ).join(
+        _positions(hits.filter(F.col("doc_id") == F.col("owner_doc"))),
+        ["doc_id", "wpos"],
+        "left_anti",
+    )
     words = corpus.select(
         F.col(id_col).alias("doc_id"),
         F.posexplode(F.split(F.col(text_col), " ")).alias("wpos", "word"),

@@ -46,26 +46,30 @@ def temperature_quotas(
 ) -> DataFrame:
     """(group, n_docs, weight, quota): per-group target counts.
     quota_g = total * w_g // sum(w), w_g = floor(sqrt(n_docs)) unless a
-    (group, weight) table overrides it.  Floor shares: the quotas sum
-    to <= total (the remainder is deliberately unassigned — determinism
-    beats hitting `total` exactly)."""
+    (group, weight) table overrides it (groups absent from the
+    override table keep the default weight).  Floor shares: the quotas
+    sum to <= total (the remainder is deliberately unassigned —
+    determinism beats hitting `total` exactly)."""
     counts = corpus.groupBy(F.col(group_col).alias("group")).agg(
         F.count(F.lit(1)).alias("n_docs")
     )
+    default_w = F.floor(F.sqrt(F.col("n_docs"))).cast("bigint")
     if weights is not None:
+        # left join + coalesce: a group missing from the override table
+        # keeps its default weight (an inner join would silently drop
+        # every document of an unlisted group from the sample)
         counts = counts.join(
             F.broadcast(
                 weights.select(
                     F.col(group_col).alias("group"),
-                    F.col("weight").cast("bigint").alias("weight"),
+                    F.col("weight").cast("bigint").alias("_w_override"),
                 )
             ),
             "group",
-        )
+            "left",
+        ).withColumn("weight", F.coalesce(F.col("_w_override"), default_w))
     else:
-        counts = counts.withColumn(
-            "weight", F.floor(F.sqrt(F.col("n_docs"))).cast("bigint")
-        )
+        counts = counts.withColumn("weight", default_w)
     # scalar weight total via a broadcast single-row aggregate (not an
     # unpartitioned window — same result, no single-partition stage)
     w_sum = counts.agg(F.sum("weight").alias("_w_sum"))

@@ -66,3 +66,17 @@ def test_benchmark_side_is_broadcast(spark):
     import re
 
     assert len(re.findall(r"hashpartitioning\(gram#\d+", plan)) == 1, plan
+
+
+def test_benchmark_needs_only_text_column(spark):
+    from pyspark.sql import functions as F  # noqa: F811
+
+    corpus = spark.createDataFrame(
+        [(1, "alpha beta gamma delta epsilon more"), (2, "nothing shared")],
+        "doc_id long, text string",
+    )
+    bench = spark.createDataFrame(
+        [("alpha beta gamma delta epsilon",)], "text string"
+    )  # no id column at all
+    got = contaminated_docs(corpus, bench, ngram_width=5).collect()
+    assert [(r.doc_id, r.n_hits) for r in got] == [(1, 1)]

@@ -117,3 +117,28 @@ def test_strip_on_fixture_round_trips_unaffected_docs(spark):
         if r.n_removed == 0:
             # single-space reassembly must round-trip the source text
             assert r.same, r.doc_id
+
+
+def test_strip_multi_owner_overlap_preserves_every_passage(spark):
+    # overlapping dup grams with DIFFERENT owners: doc1 owns 'A B C D',
+    # doc2 owns 'B C D E'/'C D E F'. Owned positions are exempt, so
+    # each passage survives in its owner even where a non-owned gram
+    # overlaps it; only doc3 (owning nothing) is fully stripped.
+    docs = _df(
+        spark,
+        [
+            (1, "X A B C D Y"),
+            (2, "P A B C D E F Q"),
+            (3, "A B C D E F"),
+        ],
+    )
+    got = {r.doc_id: r for r in strip_dup_spans(docs, width=4, min_docs=2).collect()}
+    assert got[1].stripped_text == "X A B C D Y"       # owner, untouched
+    assert got[1].n_removed == 0
+    # doc2: non-owned 'A B C D' covers 1-4, owned grams cover 2-6 ->
+    # only position 1 ('A') is removed
+    assert got[2].stripped_text == "P B C D E F Q"
+    assert got[2].n_removed == 1
+    # doc3 owns nothing -> fully stripped
+    assert got[3].stripped_text == ""
+    assert got[3].n_removed == 6

@@ -70,3 +70,16 @@ def test_custom_weights_override(spark):
         for r in temperature_quotas(c, "lang", 100, weights=w).collect()
     }
     assert got == {"a": 25, "b": 75}
+
+
+def test_custom_weights_missing_group_falls_back(spark):
+    c = _corpus(spark, {"a": 100, "b": 100, "c": 25})
+    w = spark.createDataFrame([("a", 1), ("b", 3)], "lang string, weight bigint")
+    got = {
+        r.group: (r.weight, r.quota)
+        for r in temperature_quotas(c, "lang", 90, weights=w).collect()
+    }
+    # c absent from the override table -> default floor(sqrt(25)) = 5
+    assert got["c"][0] == 5
+    assert set(got) == {"a", "b", "c"}  # nothing silently dropped
+    assert got == {"a": (1, 10), "b": (3, 30), "c": (5, 50)}
