@@ -5,7 +5,7 @@
         jobs/run_pipeline.py --input <documents parquet/table> \
         --checkpoint <dir> --output <dir> [--spam-threshold N]
         [--selection cc|greedy] [--minhash] [--containment]
-        [--resume] [--lineage]
+        [--quality-prefilter] [--resume] [--lineage]
 
 On a cluster, package the library with
     (cd <repo> && zip -r simhash_text_dedup_spark.zip simhash_text_dedup_spark)
@@ -30,6 +30,10 @@ def main() -> None:
                    help="suffix-array LCS verification of MinHash-band "
                         "candidates (kind='substring')")
     p.add_argument("--lcs-ratio", type=float, default=0.8)
+    p.add_argument("--quality-prefilter", action="store_true",
+                   help="drop documents failing the Gopher-style rule "
+                        "battery BEFORE fingerprinting (flags written "
+                        "to <output>/quality_flags)")
     p.add_argument("--resume", action="store_true")
     p.add_argument("--lineage", action="store_true")
     args = p.parse_args()
@@ -49,6 +53,29 @@ def main() -> None:
         lcs_ratio=args.lcs_ratio,
     )
     docs = spark.read.parquet(args.input)
+    if args.quality_prefilter:
+        from pyspark.sql import functions as F
+
+        from simhash_text_dedup_spark.operators.quality import quality_filter
+
+        # a unique, deterministic per-document key (the digest docid is
+        # only assigned later, inside prepare_documents)
+        qid = F.xxhash64("repo", "path", "commit")
+        flags = quality_filter(
+            docs.withColumn("__qid", qid), id_col="__qid", text_col="content"
+        )
+        flags.write.mode("overwrite").parquet(f"{args.output}/quality_flags")
+        docs = (
+            docs.withColumn("__qid", qid)
+            .join(
+                flags.filter(F.col("keep")).select(
+                    F.col("doc_id").alias("__qid")
+                ),
+                "__qid",
+                "left_semi",
+            )
+            .drop("__qid")
+        )
     res = run_dedup(
         spark, docs, cfg,
         checkpoint_dir=args.checkpoint,

@@ -123,3 +123,42 @@ def test_run_curation_new_outputs(spark, tmp_path, monkeypatch):
     assert len(sd) == 7
     # identical direction pair (0, 100): exactly one survives
     assert {sd[0], sd[100]} == {"keep", "delete"}
+
+
+def test_run_pipeline_quality_prefilter(spark, tmp_path, monkeypatch):
+    """--quality-prefilter drops rule-failing docs before
+    fingerprinting and writes the flag table."""
+    from simhash_text_dedup_spark.sources.corpus import (
+        CorpusSpec,
+        generate_corpus,
+    )
+
+    docs, _ = generate_corpus(CorpusSpec(n_docs=80, seed=13))
+    inp, out = str(tmp_path / "in"), str(tmp_path / "out")
+    spark.createDataFrame(docs).write.parquet(inp)
+
+    spec = importlib.util.spec_from_file_location(
+        "run_pipeline", os.path.join(REPO, "jobs", "run_pipeline.py")
+    )
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    monkeypatch.setattr(
+        sys,
+        "argv",
+        [
+            "run_pipeline.py",
+            "--input", inp, "--output", out,
+            "--spam-threshold", "5", "--quality-prefilter",
+        ],
+    )
+    # run_pipeline stops its session on exit (correct under
+    # spark-submit); in-process it would kill the shared test fixture
+    monkeypatch.setattr(type(spark), "stop", lambda self: None)
+    mod.main()
+
+    flags = spark.read.parquet(f"{out}/quality_flags")
+    n_keep = flags.filter("keep").count()
+    assert 0 < n_keep <= 80
+    clusters = spark.read.parquet(f"{out}/clusters")
+    # only surviving docs reach the dedup stage
+    assert clusters.count() <= n_keep
