@@ -267,3 +267,20 @@ def test_temperature_sample_broadcasts_quotas(spark):
     assert "SortMergeJoin" not in plan, plan
     # corpus-side single exchange on the group key
     assert len(re.findall(r"hashpartitioning\(group#\d+L?, \d+\)", plan)) <= 2, plan
+
+
+def test_dup_gram_agg_spreads_hot_grams_two_phase(spark):
+    """The gram-frequency aggregation must be two-phase: a first
+    exchange on (gram, doc_id) dedups map-side, a second on gram folds
+    pre-counted partials — so a universal boilerplate gram spreads its
+    rows across reducers by doc_id instead of serializing one task."""
+    import re
+
+    from simhash_text_dedup_spark.operators.dupspans import dup_gram_hits
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    plan = _plan(dup_gram_hits(docs, width=5, min_docs=2))
+    two_key = re.findall(r"hashpartitioning\(gram#\d+, doc_id#\d+L?, \d+\)", plan)
+    one_key = re.findall(r"hashpartitioning\(gram#\d+, \d+\)", plan)
+    assert len(two_key) >= 1, plan
+    assert len(one_key) >= 1, plan
