@@ -93,22 +93,48 @@ def temperature_sample(
     *,
     id_col: str = "doc_id",
     weights: DataFrame | None = None,
+    scan_cap_factor: int | None = None,
 ) -> DataFrame:
     """(doc_id, group, sample_rank): a deterministic stratified sample
     of ~`total` rows with group shares flattened by the alpha=0.5
     temperature.  Within each group rows are ranked by
     (md5(id), id) — a reproducible unbiased order — and the first
-    quota_g survive."""
+    quota_g survive.
+
+    `scan_cap_factor` is the scale lever for skewed groups: the
+    per-group ranking window otherwise SORTS the whole group to keep
+    quota rows.  With a factor c, rows are pre-filtered to those whose
+    60-bit md5-prefix falls in the lowest ~c*quota/n_docs slice of the
+    hash space — an order-monotone cut, so the ranked result is
+    IDENTICAL whenever at least quota rows pass.  The shortfall event
+    is a lower-tail binomial deviation by a factor c (Chernoff
+    P < exp(-quota*(c-1)^2 / (2c)) — operationally zero for c >= 4 and
+    real quotas); if it ever fired the group would be under-sampled,
+    never mis-sampled.  The window then sorts ~c*quota rows per group
+    instead of the group."""
     quotas = temperature_quotas(corpus, group_col, total, weights=weights)
     w = Window.partitionBy("group").orderBy("_hkey", "doc_id")
+    rows = corpus.select(
+        F.col(id_col).alias("doc_id"),
+        F.col(group_col).alias("group"),
+        F.md5(F.col(id_col).cast("string")).alias("_hkey"),
+    ).join(
+        F.broadcast(quotas.select("group", "n_docs", "quota")), "group"
+    )
+    if scan_cap_factor is not None:
+        c = int(scan_cap_factor)
+        # integer threshold on the 60-bit hex prefix; ((2^60 // n) * cq)
+        # stays below 2^63 because the branch only runs when cq < n
+        hk60 = F.conv(F.substring("_hkey", 1, 15), 16, 10).cast("bigint")
+        cq = (F.lit(c) * F.col("quota")).cast("bigint")
+        thresh = _idiv(F.lit(1 << 60), F.col("n_docs")) * cq
+        rows = rows.filter((cq >= F.col("n_docs")) | (hk60 < thresh))
     return (
-        corpus.select(
-            F.col(id_col).alias("doc_id"),
-            F.col(group_col).alias("group"),
-            F.md5(F.col(id_col).cast("string")).alias("_hkey"),
-        )
-        .join(F.broadcast(quotas.select("group", "quota")), "group")
-        .withColumn("sample_rank", F.row_number().over(w))
+        rows.withColumn("sample_rank", F.row_number().over(w))
         .filter(F.col("sample_rank") <= F.col("quota"))
-        .select("doc_id", "group", F.col("sample_rank").cast("bigint").alias("sample_rank"))
+        .select(
+            "doc_id",
+            "group",
+            F.col("sample_rank").cast("bigint").alias("sample_rank"),
+        )
     )

@@ -83,3 +83,21 @@ def test_custom_weights_missing_group_falls_back(spark):
     assert got["c"][0] == 5
     assert set(got) == {"a", "b", "c"}  # nothing silently dropped
     assert got == {"a": (1, 10), "b": (3, 30), "c": (5, 50)}
+
+
+def test_scan_cap_parity_and_filter_in_plan(spark):
+    import io
+    import re
+    from contextlib import redirect_stdout
+
+    c = _corpus(spark, {"head": 900, "tail": 100})
+    plain = sorted(map(tuple, temperature_sample(c, "lang", 120).collect()))
+    capped_df = temperature_sample(c, "lang", 120, scan_cap_factor=4)
+    capped = sorted(map(tuple, capped_df.collect()))
+    # order-monotone cut: identical sample whenever >= quota rows pass
+    assert plain == capped
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        capped_df.explain("formatted")
+    # the hash-space cut is present ahead of the ranking window
+    assert re.search(r"conv\(substring\(_hkey", buf.getvalue()), buf.getvalue()
