@@ -138,3 +138,19 @@ def temperature_sample(
             F.col("sample_rank").cast("bigint").alias("sample_rank"),
         )
     )
+
+
+def short_quota_groups(
+    sample: DataFrame, quotas: DataFrame
+) -> DataFrame:
+    """(group, n_sampled, expected): groups whose sample came in under
+    min(quota, n_docs) — the audit for `scan_cap_factor` (empty result
+    == the capped run is bit-identical to the exact one)."""
+    got = sample.groupBy("group").agg(F.count(F.lit(1)).alias("n_sampled"))
+    return (
+        quotas.join(got, "group", "left")
+        .withColumn("n_sampled", F.coalesce(F.col("n_sampled"), F.lit(0)))
+        .withColumn("expected", F.least(F.col("quota"), F.col("n_docs")))
+        .filter(F.col("n_sampled") < F.col("expected"))
+        .select("group", "n_sampled", "expected")
+    )

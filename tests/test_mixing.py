@@ -101,3 +101,14 @@ def test_scan_cap_parity_and_filter_in_plan(spark):
         capped_df.explain("formatted")
     # the hash-space cut is present ahead of the ranking window
     assert re.search(r"conv\(substring\(_hkey", buf.getvalue()), buf.getvalue()
+
+
+def test_short_quota_groups_audit(spark):
+    from simhash_text_dedup_spark.operators.mixing import short_quota_groups
+
+    c = _corpus(spark, {"a": 400, "b": 50})
+    q = temperature_quotas(c, "lang", 100)
+    s = temperature_sample(c, "lang", 100, scan_cap_factor=4)
+    assert short_quota_groups(s, q).count() == 0
+    # a truncated sample is flagged
+    assert short_quota_groups(s.limit(5), q).count() > 0
