@@ -1428,9 +1428,9 @@ def q_embedding_topk_lsh_signbit(spark, sf):
     )
 
 
-def _lsh_signbit_sql() -> str:
-    """DuckDB twin of the sign-bit sketch + lsh_topk's candidate join +
-    exact re-rank (DuckDB lists are 1-based: v[i+1] == Spark col[i])."""
+def _signbit_keys_sql() -> str:
+    """DuckDB list of the sign-bit band keys (1-based: v[i+1] ==
+    Spark col[i]); shared by the LSH top-k and near-pairs twins."""
     key_exprs = []
     for j in range(_LSH_SB_BANDS):
         bits = " + ".join(
@@ -1439,7 +1439,48 @@ def _lsh_signbit_sql() -> str:
             for t in range(_LSH_SB_BITS)
         )
         key_exprs.append(f"({j << 5} + {bits})")
-    keys_list = ", ".join(key_exprs)
+    return ", ".join(key_exprs)
+
+
+def q_embedding_near_pairs(spark, sf):
+    # threshold near-dup PAIRS in embedding space (the dedup form, vs
+    # the top-k form): production lsh_near_pairs — band-distinct
+    # sketch, first-shared-band candidate emit, exact cosine verify —
+    # with the SQL-computable sign-bit sketch injected
+    from simhash_text_dedup_spark.operators.similarity import lsh_near_pairs
+
+    emb = _read(spark, sf, "embeddings")
+    return lsh_near_pairs(emb, threshold=0.35, sketch_fn=_signbit_sketch)
+
+
+def _near_pairs_signbit_sql() -> str:
+    """DuckDB twin: DISTINCT band-collision candidates (== the
+    first-shared-band emit set) + exact cosine threshold."""
+    return f"""
+        WITH e AS (
+          SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+        ), eb AS (
+          SELECT vec_id, unnest([{_signbit_keys_sql()}]) AS band_key
+          FROM e
+        ), cands AS (
+          SELECT DISTINCT x.vec_id AS a_id, y.vec_id AS b_id
+          FROM eb x JOIN eb y
+            ON x.band_key = y.band_key AND x.vec_id < y.vec_id
+        )
+        SELECT a_id, b_id
+        FROM cands
+        JOIN e ea ON ea.vec_id = a_id
+        JOIN e eb2 ON eb2.vec_id = b_id
+        WHERE list_dot_product(ea.v, eb2.v)
+              / (sqrt(list_dot_product(ea.v, ea.v))
+                 * sqrt(list_dot_product(eb2.v, eb2.v))) >= 0.35
+    """
+
+
+def _lsh_signbit_sql() -> str:
+    """DuckDB twin of the sign-bit sketch + lsh_topk's candidate join +
+    exact re-rank (DuckDB lists are 1-based: v[i+1] == Spark col[i])."""
+    keys_list = _signbit_keys_sql()
     return f"""
         WITH e AS (
           SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
@@ -1723,6 +1764,20 @@ def q_simhash_clusters_greedy(spark, sf):
     return res.clusters.select("doc_id", "cluster_id", "action")
 
 
+def q_media_near_dups(spark, sf):
+    # multimodal near-dup pairs (rows-only: the decode is non-SQL; the
+    # band-join machinery underneath is the hash-verified
+    # embedding_near_pairs path): planted duplicate payloads must pair
+    from simhash_text_dedup_spark.operators.multimodal import (
+        make_fake_media,
+        media_near_dups,
+    )
+
+    media = make_fake_media(spark, n=30, seed=42)
+    copies = media.withColumn("doc_id", F.col("doc_id") + 1000)
+    return media_near_dups(media.unionByName(copies), threshold=0.999)
+
+
 def q_multimodal_features(spark, sf):
     # multimodal plumbing: binary payload -> feature vectors (rows-only;
     # decode step is a deterministic stub, Spark plumbing is real)
@@ -1796,12 +1851,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_pairs": q_minhash_pairs,
         "embedding_topk_lsh": q_embedding_topk_lsh,
         "embedding_topk_lsh_signbit": q_embedding_topk_lsh_signbit,
+        "embedding_near_pairs": q_embedding_near_pairs,
         "embedding_topk_ivf": q_embedding_topk_ivf,
         "embedding_topk_ivf_disk": q_embedding_topk_ivf_disk,
         "embedding_topk_ivf_axes": q_embedding_topk_ivf_axes,
         "embedding_topk_ivf_disk_axes": q_embedding_topk_ivf_disk_axes,
         "semdedup": q_semdedup,
         "multimodal_features": q_multimodal_features,
+        "media_near_dups": q_media_near_dups,
         "incremental_round": q_incremental_round,
         "simhash_clusters_greedy": q_simhash_clusters_greedy,
     }
@@ -1958,6 +2015,7 @@ def oracle_sql() -> dict[str, str]:
         "substring_verified": _substring_verified_sql(),
         "edit_distance_pairs": _edit_distance_sql(),
         "embedding_topk_lsh_signbit": _lsh_signbit_sql(),
+        "embedding_near_pairs": _near_pairs_signbit_sql(),
         "embedding_topk_ivf_axes": _ivf_axes_sql(),
         "embedding_topk_ivf_disk_axes": _ivf_axes_sql(),
         "semdedup": _semdedup_sql(),

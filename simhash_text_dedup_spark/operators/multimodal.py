@@ -345,3 +345,42 @@ def make_fake_media(spark, n: int = 50, seed: int = 42) -> DataFrame:
             meta = ("video/x-ppm-frames", 8, 6, 3000, None)
         rows.append((i, kind, bytearray(payload), meta))
     return spark.createDataFrame(rows, MEDIA_SCHEMA)
+
+
+def media_near_dups(
+    media: DataFrame,
+    *,
+    threshold: float = 0.95,
+    n_bands: int = 16,
+    seed: int = 42,
+    strict: bool = False,
+) -> DataFrame:
+    """(kind, a_id, b_id): near-duplicate media pairs — decoded feature
+    vectors (extract_features) fed through the embedding near-dup band
+    join (similarity.lsh_near_pairs), per kind so image/audio/video
+    never cross-pair.  The multimodal analog of the SimHash text pair
+    join: perceptual similarity = cosine over decode features.
+
+    The per-kind loop collects only the distinct kind values (bounded
+    by the format count, not the corpus); the feature extraction is
+    lineage-cut so the decode UDF runs once, not once per kind."""
+    from .similarity import lsh_near_pairs
+
+    feats = (
+        extract_features(media, strict=strict)
+        .select("doc_id", "kind", "feature")
+        .localCheckpoint(eager=False)
+    )
+    kinds = sorted(r.kind for r in feats.select("kind").distinct().collect())
+    spark = media.sparkSession
+    out = spark.createDataFrame([], "kind string, a_id long, b_id long")
+    for k in kinds:
+        emb = feats.filter(F.col("kind") == k).select(
+            F.col("doc_id").alias("vec_id"),
+            F.col("feature").alias("embedding"),
+        )
+        pairs = lsh_near_pairs(
+            emb, threshold=threshold, n_bands=n_bands, seed=seed
+        ).select(F.lit(k).alias("kind"), "a_id", "b_id")
+        out = out.unionByName(pairs)
+    return out

@@ -169,6 +169,80 @@ def lsh_topk(
     )
 
 
+def lsh_near_pairs(
+    corpus: DataFrame,
+    *,
+    threshold: float = 0.9,
+    dim: int | None = None,
+    n_planes: int = 64,
+    n_bands: int = 8,
+    seed: int = 42,
+    sketch_fn=None,
+) -> DataFrame:
+    """(a_id, b_id), a_id < b_id: corpus self-pairs with exact cosine
+    >= threshold among LSH band-collision candidates — the
+    embedding-space analog of the SimHash band join (threshold dedup
+    pairs, vs lsh_topk's per-query top-k).
+
+    Same machinery as lsh_topk: band-distinct sketch keys, candidates
+    emitted ONLY in their first shared band (both key arrays ride
+    through posexplode, codegen predicate — no post-join dedup
+    shuffle), slim (a_id, b_id) candidates joined back onto the vector
+    table for the exact verify.  Approximate with the LSH recall of
+    the sketch config; candidates are a band-key equi-join, so cost
+    follows bucket sizes, never |corpus|^2."""
+    sketch = sketch_fn or hyperplane_sketch_udf(dim, n_planes, n_bands, seed)
+    c = corpus.select(
+        "vec_id",
+        F.col("embedding").cast("array<double>").alias("v"),
+        sketch(F.col("embedding")).alias("keys"),
+    )
+    cb = c.select(
+        "vec_id", "keys", F.posexplode("keys").alias("pos", "band_key")
+    )
+    a = cb.select(
+        F.col("vec_id").alias("a_id"),
+        F.col("keys").alias("akeys"),
+        F.col("pos").alias("apos"),
+        "band_key",
+    )
+    b = cb.select(
+        F.col("vec_id").alias("b_id"),
+        F.col("keys").alias("bkeys"),
+        F.col("pos").alias("bpos"),
+        "band_key",
+    )
+    earlier_match = F.exists(
+        F.zip_with(
+            F.slice(F.col("akeys"), F.lit(1), F.col("apos")),
+            F.slice(F.col("bkeys"), F.lit(1), F.col("apos")),
+            lambda x, y: x == y,
+        ),
+        lambda m: m,
+    )
+    cands = (
+        a.join(b, "band_key")
+        .filter(F.col("a_id") < F.col("b_id"))
+        .filter(F.col("apos") == F.col("bpos"))  # band-distinct keys
+        .filter(~earlier_match)
+        .select("a_id", "b_id")
+    )
+    return (
+        cands.join(
+            c.select(F.col("vec_id").alias("a_id"), F.col("v").alias("a_v")),
+            "a_id",
+        )
+        .join(
+            c.select(F.col("vec_id").alias("b_id"), F.col("v").alias("b_v")),
+            "b_id",
+        )
+        .filter(
+            _cosine(F.col("a_v"), F.col("b_v")) >= F.lit(float(threshold))
+        )
+        .select("a_id", "b_id")
+    )
+
+
 def _train_centroids(
     sample: np.ndarray, n_lists: int, seed: int, n_iter: int = 12
 ) -> np.ndarray:

@@ -138,3 +138,26 @@ def test_degenerate_ppm_dimensions_fall_back_not_nan():
         decode_ppm(b"P6\n0 4\n255\n")
     with pytest.raises(ValueError, match="degenerate"):
         decode_ppm(b"P6\n4 0\n255\n")
+
+
+def test_media_near_dups_finds_copies_within_kind(spark):
+    from pyspark.sql import functions as F  # noqa: F811
+
+    from simhash_text_dedup_spark.operators.multimodal import (
+        make_fake_media,
+        media_near_dups,
+    )
+
+    media = make_fake_media(spark, n=30, seed=42)
+    copies = media.withColumn("doc_id", F.col("doc_id") + 1000)
+    pairs = media_near_dups(
+        media.unionByName(copies), threshold=0.999
+    ).collect()
+    got = {(r.kind, r.a_id, r.b_id) for r in pairs}
+    kinds = {r.doc_id: r.kind for r in media.select("doc_id", "kind").collect()}
+    # every identical copy pair found, tagged with its own kind
+    for i in range(30):
+        assert (kinds[i], i, i + 1000) in got, i
+    # no cross-kind pair can exist by construction
+    for k, a, b in got:
+        assert kinds.get(a % 1000, k) == k

@@ -242,3 +242,43 @@ def test_lsh_candidates_have_no_dedup_shuffle(spark):
     assert "Deduplicate" not in plan, plan
     rows = res.collect()
     assert len({(r.query_id, r.neighbor_id) for r in rows}) == len(rows)
+
+
+def test_lsh_near_pairs_finds_planted_duplicates(spark):
+    import numpy as np
+
+    from simhash_text_dedup_spark.operators.similarity import lsh_near_pairs
+
+    emb = _emb(spark).select("vec_id", "embedding").limit(80)
+    copies = emb.select(
+        (F.col("vec_id") + 1000).alias("vec_id"),
+        F.expr("transform(embedding, x -> x * float(1.5))").alias("embedding"),
+    )
+    pairs = lsh_near_pairs(
+        emb.unionByName(copies), threshold=0.999, n_bands=16
+    ).collect()
+    got = {(r.a_id, r.b_id) for r in pairs}
+    # scaled copies have cosine exactly 1: every (i, i+1000) pair found
+    # (identical sign patterns share every band)
+    for i in range(80):
+        assert (i, i + 1000) in got, i
+    # orientation + first-match dedup
+    assert len(pairs) == len(got)
+    for a, b in got:
+        assert a < b
+
+
+def test_lsh_near_pairs_verify_is_exact(spark):
+    import numpy as np
+
+    from simhash_text_dedup_spark.operators.similarity import lsh_near_pairs
+
+    emb = _emb(spark)
+    pairs = lsh_near_pairs(emb, threshold=0.3, n_bands=16).collect()
+    pdf = emb.toPandas()
+    mat = np.vstack(pdf.embedding.map(lambda v: np.asarray(v, dtype=np.float64)))
+    ids = list(pdf.vec_id.values)
+    unit = mat / np.linalg.norm(mat, axis=1, keepdims=True)
+    for r in pairs:
+        cs = float(unit[ids.index(r.a_id)] @ unit[ids.index(r.b_id)])
+        assert cs >= 0.3 - 1e-9, (r, cs)
