@@ -178,6 +178,8 @@ def lsh_near_pairs(
     n_bands: int = 8,
     seed: int = 42,
     sketch_fn=None,
+    bucket_cap: int = 10_000,
+    salt_partitions: int = 16,
 ) -> DataFrame:
     """(a_id, b_id), a_id < b_id: corpus self-pairs with exact cosine
     >= threshold among LSH band-collision candidates — the
@@ -190,7 +192,16 @@ def lsh_near_pairs(
     shuffle), slim (a_id, b_id) candidates joined back onto the vector
     table for the exact verify.  Approximate with the LSH recall of
     the sketch config; candidates are a band-key equi-join, so cost
-    follows bucket sizes, never |corpus|^2."""
+    follows bucket sizes, never |corpus|^2.
+
+    Hot band buckets (> bucket_cap members — near-identical embedding
+    floods share every band) route through a salted sub-join exactly
+    like the SimHash join (operators/pairs.py): cold buckets keep the
+    plain first-match predicate (a pair whose FIRST shared band is hot
+    emits from the hot branch, never twice), the hot probe side
+    carries a deterministic salt and the build side replicates per
+    salt, spreading the quadratic block across salt_partitions
+    tasks."""
     sketch = sketch_fn or hyperplane_sketch_udf(dim, n_planes, n_bands, seed)
     c = corpus.select(
         "vec_id",
@@ -200,18 +211,31 @@ def lsh_near_pairs(
     cb = c.select(
         "vec_id", "keys", F.posexplode("keys").alias("pos", "band_key")
     )
-    a = cb.select(
-        F.col("vec_id").alias("a_id"),
-        F.col("keys").alias("akeys"),
-        F.col("pos").alias("apos"),
-        "band_key",
+    hot = (
+        cb.groupBy("pos", "band_key")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .filter(F.col("n") > int(bucket_cap))
+        .select("pos", "band_key")
+        .localCheckpoint(eager=False)
     )
-    b = cb.select(
-        F.col("vec_id").alias("b_id"),
-        F.col("keys").alias("bkeys"),
-        F.col("pos").alias("bpos"),
-        "band_key",
-    )
+    cold_b = cb.join(F.broadcast(hot), ["pos", "band_key"], "left_anti")
+    hot_b = cb.join(F.broadcast(hot), ["pos", "band_key"], "left_semi")
+
+    def _sides(df):
+        a = df.select(
+            F.col("vec_id").alias("a_id"),
+            F.col("keys").alias("akeys"),
+            F.col("pos").alias("apos"),
+            "band_key",
+        )
+        b = df.select(
+            F.col("vec_id").alias("b_id"),
+            F.col("keys").alias("bkeys"),
+            F.col("pos").alias("bpos"),
+            "band_key",
+        )
+        return a, b
+
     earlier_match = F.exists(
         F.zip_with(
             F.slice(F.col("akeys"), F.lit(1), F.col("apos")),
@@ -220,13 +244,27 @@ def lsh_near_pairs(
         ),
         lambda m: m,
     )
-    cands = (
-        a.join(b, "band_key")
-        .filter(F.col("a_id") < F.col("b_id"))
-        .filter(F.col("apos") == F.col("bpos"))  # band-distinct keys
-        .filter(~earlier_match)
-        .select("a_id", "b_id")
+
+    def _cands(a, b, keys):
+        return (
+            a.join(b, keys)
+            .filter(F.col("a_id") < F.col("b_id"))
+            .filter(F.col("apos") == F.col("bpos"))  # band-distinct keys
+            .filter(~earlier_match)
+            .select("a_id", "b_id")
+        )
+
+    ca, cb_side = _sides(cold_b)
+    cands = _cands(ca, cb_side, ["band_key"])
+    s = int(salt_partitions)
+    ha, hb = _sides(hot_b)
+    ha = ha.withColumn(
+        "salt", F.pmod(F.xxhash64("a_id"), F.lit(s)).cast("int")
     )
+    hb = hb.withColumn(
+        "salt", F.explode(F.array(*[F.lit(i) for i in range(s)]))
+    )
+    cands = cands.unionByName(_cands(ha, hb, ["band_key", "salt"]))
     return (
         cands.join(
             c.select(F.col("vec_id").alias("a_id"), F.col("v").alias("a_v")),

@@ -282,3 +282,31 @@ def test_lsh_near_pairs_verify_is_exact(spark):
     for r in pairs:
         cs = float(unit[ids.index(r.a_id)] @ unit[ids.index(r.b_id)])
         assert cs >= 0.3 - 1e-9, (r, cs)
+
+
+def test_lsh_near_pairs_hot_bucket_salt_parity(spark):
+    from simhash_text_dedup_spark.operators.similarity import lsh_near_pairs
+
+    emb = _emb(spark).select("vec_id", "embedding").limit(60)
+    # 40 identical-direction vectors flood every band bucket they touch
+    flood = (
+        _emb(spark).select("vec_id", "embedding").limit(1)
+        .crossJoin(spark.range(40).select((F.col("id") + 7000).alias("fid")))
+        .select(F.col("fid").alias("vec_id"), "embedding")
+    )
+    docs = emb.unionByName(flood)
+    plain = sorted(
+        map(tuple, lsh_near_pairs(docs, threshold=0.3, bucket_cap=10_000).collect())
+    )
+    salted = sorted(
+        map(
+            tuple,
+            lsh_near_pairs(
+                docs, threshold=0.3, bucket_cap=20, salt_partitions=4
+            ).collect(),
+        )
+    )
+    assert plain == salted
+    # the flood really does pair quadratically (all identical): 40*39/2
+    flood_pairs = [(a, b) for a, b in plain if a >= 7000 and b >= 7000]
+    assert len(flood_pairs) == 40 * 39 // 2
