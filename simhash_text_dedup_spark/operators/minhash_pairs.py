@@ -42,7 +42,14 @@ def minhash_candidates(sigs: DataFrame, cfg: DedupConfig) -> DataFrame:
     dropDuplicates exchange over the JOIN OUTPUT (worst-case quadratic
     in a hot bucket).  Each exploded row carries only the PREFIX of
     earlier band keys it needs (avg n_bands/2 longs — linear
-    transport traded for the unbounded dedup shuffle)."""
+    transport traded for the unbounded dedup shuffle).
+
+    Hot band buckets (> cfg.band_bucket_cap members — templated
+    near-identical shingle floods below the exact-dup spam threshold)
+    route through the salted sub-join, same algebra as near_pairs /
+    lsh_near_pairs: cold buckets keep the plain first-match predicate,
+    a pair whose FIRST shared band is hot emits exactly once from the
+    salted hot branch."""
     banded = sigs.select(
         "doc_id", "bands",
         F.posexplode("bands").alias("band_idx", "band_key"),
@@ -50,26 +57,54 @@ def minhash_candidates(sigs: DataFrame, cfg: DedupConfig) -> DataFrame:
         "doc_id", "band_idx", "band_key",
         F.expr("slice(bands, 1, band_idx)").alias("prefix"),
     )
-    left = banded.select(
-        "band_idx", "band_key", F.col("doc_id").alias("a_id"),
-        F.col("prefix").alias("a_prefix"),
+    hot = (
+        banded.groupBy("band_idx", "band_key")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .filter(F.col("n") > cfg.band_bucket_cap)
+        .select("band_idx", "band_key")
+        .localCheckpoint(eager=False)
     )
-    right = banded.select(
-        "band_idx", "band_key", F.col("doc_id").alias("b_id"),
-        F.col("prefix").alias("b_prefix"),
+    cold = banded.join(F.broadcast(hot), ["band_idx", "band_key"], "left_anti")
+    hot_rows = banded.join(
+        F.broadcast(hot), ["band_idx", "band_key"], "left_semi"
     )
+
+    def _sides(df):
+        left = df.select(
+            "band_idx", "band_key", F.col("doc_id").alias("a_id"),
+            F.col("prefix").alias("a_prefix"),
+        )
+        right = df.select(
+            "band_idx", "band_key", F.col("doc_id").alias("b_id"),
+            F.col("prefix").alias("b_prefix"),
+        )
+        return left, right
+
     earlier_match = F.exists(
         F.zip_with(
             F.col("a_prefix"), F.col("b_prefix"), lambda x, y: x == y
         ),
         lambda m: m,
     )
-    return (
-        left.join(right, ["band_idx", "band_key"])
-        .filter(F.col("a_id") < F.col("b_id"))
-        .filter(~earlier_match)
-        .select("a_id", "b_id")
+
+    def _cands(left, right, keys):
+        return (
+            left.join(right, keys)
+            .filter(F.col("a_id") < F.col("b_id"))
+            .filter(~earlier_match)
+            .select("a_id", "b_id")
+        )
+
+    cands = _cands(*_sides(cold), ["band_idx", "band_key"])
+    s = cfg.salt_partitions
+    lh, rh = _sides(hot_rows)
+    lh = lh.withColumn(
+        "salt", F.pmod(F.xxhash64("a_id"), F.lit(s)).cast("int")
     )
+    rh = rh.withColumn(
+        "salt", F.explode(F.array(*[F.lit(i) for i in range(s)]))
+    )
+    return cands.unionByName(_cands(lh, rh, ["band_idx", "band_key", "salt"]))
 
 
 def minhash_verified_pairs(

@@ -120,3 +120,32 @@ def test_minhash_candidates_have_no_dedup_shuffle(spark):
     rows = cands.collect()
     assert len({(r.a_id, r.b_id) for r in rows}) == len(rows)
     assert len(rows) > 0  # heavy shared shingles guarantee collisions
+
+
+def test_minhash_candidates_hot_bucket_salt_parity(spark):
+    from pyspark.sql import functions as F  # noqa: F811
+
+    from simhash_text_dedup_spark.config import DedupConfig
+    from simhash_text_dedup_spark.operators.minhash_pairs import (
+        minhash_candidates,
+        minhash_signatures,
+    )
+
+    base = spark.createDataFrame(
+        [(i, f"some distinct document body number {i} with words")
+         for i in range(20)]
+        + [(100 + i, "the exact same templated flood body every time x")
+           for i in range(30)],
+        "doc_id long, content string",
+    ).withColumnRenamed("content", "content")
+    cfg_plain = DedupConfig(band_bucket_cap=100000)
+    cfg_salt = DedupConfig(band_bucket_cap=10, salt_partitions=4)
+    sigs = minhash_signatures(
+        base.select("doc_id", F.col("content")), cfg_plain
+    ).localCheckpoint()
+    plain = sorted(map(tuple, minhash_candidates(sigs, cfg_plain).collect()))
+    salted = sorted(map(tuple, minhash_candidates(sigs, cfg_salt).collect()))
+    assert plain == salted
+    # the flood really pairs quadratically among itself
+    flood = [(a, b) for a, b in plain if a >= 100 and b >= 100]
+    assert len(flood) == 30 * 29 // 2
