@@ -124,7 +124,13 @@ def lsh_topk(
     join (operators/pairs.py): both key arrays ride along through
     posexplode, and a row survives only if no earlier band position
     matched — no post-join dropDuplicates shuffle over the candidate
-    set (round-3 VERDICT #6)."""
+    set (round-3 VERDICT #6).
+
+    Skew note: a hot corpus band bucket here costs one task of
+    |bucket| x |queries in that band| — bounded by the SMALL query
+    batch this operator contracts for, unlike the corpus self-joins
+    (near_pairs / lsh_near_pairs / minhash_candidates), which carry
+    explicit salted hot-bucket routing."""
     sketch = sketch_fn or hyperplane_sketch_udf(dim, n_planes, n_bands, seed)
 
     c = corpus.select(
