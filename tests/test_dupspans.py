@@ -142,3 +142,23 @@ def test_strip_multi_owner_overlap_preserves_every_passage(spark):
     # doc3 owns nothing -> fully stripped
     assert got[3].stripped_text == ""
     assert got[3].n_removed == 6
+
+
+def test_strip_hash_grams_parity(spark):
+    docs = _df(
+        spark,
+        [
+            (1, "X A B C D Y"),
+            (2, "P A B C D E F Q"),
+            (3, "A B C D E F"),
+            (4, "totally unrelated words here now"),
+        ],
+    )
+    plain = sorted(map(tuple, strip_dup_spans(docs, width=4, min_docs=2).collect()))
+    hashed = sorted(
+        map(
+            tuple,
+            strip_dup_spans(docs, width=4, min_docs=2, hash_grams=True).collect(),
+        )
+    )
+    assert plain == hashed
