@@ -65,6 +65,9 @@ def main() -> None:
             docs.withColumn("__qid", qid), id_col="__qid", text_col="content"
         )
         flags.write.mode("overwrite").parquet(f"{args.output}/quality_flags")
+        # join against the just-written table, not the flags lineage —
+        # otherwise the rule battery (a corpus exchange) runs twice
+        flags = spark.read.parquet(f"{args.output}/quality_flags")
         docs = (
             docs.withColumn("__qid", qid)
             .join(

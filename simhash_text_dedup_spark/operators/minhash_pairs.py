@@ -50,23 +50,22 @@ def minhash_candidates(sigs: DataFrame, cfg: DedupConfig) -> DataFrame:
     lsh_near_pairs: cold buckets keep the plain first-match predicate,
     a pair whose FIRST shared band is hot emits exactly once from the
     salted hot branch."""
+    from .skew import salt_build, salt_probe, split_hot_buckets
+
+    # lineage cut: the banded explode rides on the (expensive) minhash
+    # UDF and feeds the hot histogram plus both join branches; the
+    # pipeline path checkpoints sigs upstream, but direct callers
+    # (e.g. the oracle entries) would otherwise re-run the UDF per
+    # consumer
     banded = sigs.select(
         "doc_id", "bands",
         F.posexplode("bands").alias("band_idx", "band_key"),
     ).select(
         "doc_id", "band_idx", "band_key",
         F.expr("slice(bands, 1, band_idx)").alias("prefix"),
-    )
-    hot = (
-        banded.groupBy("band_idx", "band_key")
-        .agg(F.count(F.lit(1)).alias("n"))
-        .filter(F.col("n") > cfg.band_bucket_cap)
-        .select("band_idx", "band_key")
-        .localCheckpoint(eager=False)
-    )
-    cold = banded.join(F.broadcast(hot), ["band_idx", "band_key"], "left_anti")
-    hot_rows = banded.join(
-        F.broadcast(hot), ["band_idx", "band_key"], "left_semi"
+    ).localCheckpoint(eager=False)
+    cold, hot_rows = split_hot_buckets(
+        banded, ["band_idx", "band_key"], cfg.band_bucket_cap
     )
 
     def _sides(df):
@@ -96,15 +95,14 @@ def minhash_candidates(sigs: DataFrame, cfg: DedupConfig) -> DataFrame:
         )
 
     cands = _cands(*_sides(cold), ["band_idx", "band_key"])
-    s = cfg.salt_partitions
     lh, rh = _sides(hot_rows)
-    lh = lh.withColumn(
-        "salt", F.pmod(F.xxhash64("a_id"), F.lit(s)).cast("int")
+    return cands.unionByName(
+        _cands(
+            salt_probe(lh, "a_id", cfg.salt_partitions),
+            salt_build(rh, cfg.salt_partitions),
+            ["band_idx", "band_key", "salt"],
+        )
     )
-    rh = rh.withColumn(
-        "salt", F.explode(F.array(*[F.lit(i) for i in range(s)]))
-    )
-    return cands.unionByName(_cands(lh, rh, ["band_idx", "band_key", "salt"]))
 
 
 def minhash_verified_pairs(

@@ -114,13 +114,18 @@ def temperature_sample(
     instead of the group."""
     quotas = temperature_quotas(corpus, group_col, total, weights=weights)
     w = Window.partitionBy("group").orderBy("_hkey", "doc_id")
+    # n_docs rides through the corpus-sized exchange only when the
+    # scan-cap branch actually needs it
+    quota_cols = (
+        ["group", "n_docs", "quota"]
+        if scan_cap_factor is not None
+        else ["group", "quota"]
+    )
     rows = corpus.select(
         F.col(id_col).alias("doc_id"),
         F.col(group_col).alias("group"),
         F.md5(F.col(id_col).cast("string")).alias("_hkey"),
-    ).join(
-        F.broadcast(quotas.select("group", "n_docs", "quota")), "group"
-    )
+    ).join(F.broadcast(quotas.select(*quota_cols)), "group")
     if scan_cap_factor is not None:
         c = int(scan_cap_factor)
         # integer threshold on the 60-bit hex prefix; ((2^60 // n) * cq)

@@ -140,16 +140,9 @@ def semdedup(
     # stage would execute three times (same trick as ivf_probe)
     assigned = assign_clusters(corpus, cent).localCheckpoint(eager=False)
 
-    # hot-cluster histogram: tiny (one row per over-cap list), broadcast
-    hot = (
-        assigned.groupBy("list_id")
-        .agg(F.count(F.lit(1)).alias("n"))
-        .filter(F.col("n") > int(list_size_cap))
-        .select("list_id")
-        .localCheckpoint(eager=False)
-    )
-    cold = assigned.join(F.broadcast(hot), "list_id", "left_anti")
-    hot_rows = assigned.join(F.broadcast(hot), "list_id", "left_semi")
+    from .skew import salt_build, salt_probe, split_hot_buckets
+
+    cold, hot_rows = split_hot_buckets(assigned, ["list_id"], list_size_cap)
 
     def _side(df, prefix):
         return df.select(
@@ -162,15 +155,13 @@ def semdedup(
     dominated = _dominated_in(
         _side(cold, "a"), _side(cold, "b"), ["list_id"], threshold
     )
-    s = int(salt_partitions)
-    a_hot = _side(hot_rows, "a").withColumn(
-        "salt", F.pmod(F.xxhash64("a_id"), F.lit(s)).cast("int")
-    )
-    b_hot = _side(hot_rows, "b").withColumn(
-        "salt", F.explode(F.array(*[F.lit(i) for i in range(s)]))
-    )
     dominated = dominated.unionByName(
-        _dominated_in(a_hot, b_hot, ["list_id", "salt"], threshold)
+        _dominated_in(
+            salt_probe(_side(hot_rows, "a"), "a_id", salt_partitions),
+            salt_build(_side(hot_rows, "b"), salt_partitions),
+            ["list_id", "salt"],
+            threshold,
+        )
     )
     # one left join with a flag (not a semi + anti pair) so the
     # assignment stage — which carries the Arrow UDF pass — is scanned

@@ -208,24 +208,22 @@ def lsh_near_pairs(
     carries a deterministic salt and the build side replicates per
     salt, spreading the quadratic block across salt_partitions
     tasks."""
+    from .skew import salt_build, salt_probe, split_hot_buckets
+
     sketch = sketch_fn or hyperplane_sketch_udf(dim, n_planes, n_bands, seed)
+    # lineage cut: the sketch (Arrow UDF) output feeds the hot
+    # histogram, both join branches AND the verify join-backs — without
+    # it the UDF would re-run per consumer (same reason as ivf_probe /
+    # semdedup)
     c = corpus.select(
         "vec_id",
         F.col("embedding").cast("array<double>").alias("v"),
         sketch(F.col("embedding")).alias("keys"),
-    )
+    ).localCheckpoint(eager=False)
     cb = c.select(
         "vec_id", "keys", F.posexplode("keys").alias("pos", "band_key")
     )
-    hot = (
-        cb.groupBy("pos", "band_key")
-        .agg(F.count(F.lit(1)).alias("n"))
-        .filter(F.col("n") > int(bucket_cap))
-        .select("pos", "band_key")
-        .localCheckpoint(eager=False)
-    )
-    cold_b = cb.join(F.broadcast(hot), ["pos", "band_key"], "left_anti")
-    hot_b = cb.join(F.broadcast(hot), ["pos", "band_key"], "left_semi")
+    cold_b, hot_b = split_hot_buckets(cb, ["pos", "band_key"], bucket_cap)
 
     def _sides(df):
         a = df.select(
@@ -262,15 +260,14 @@ def lsh_near_pairs(
 
     ca, cb_side = _sides(cold_b)
     cands = _cands(ca, cb_side, ["band_key"])
-    s = int(salt_partitions)
     ha, hb = _sides(hot_b)
-    ha = ha.withColumn(
-        "salt", F.pmod(F.xxhash64("a_id"), F.lit(s)).cast("int")
+    cands = cands.unionByName(
+        _cands(
+            salt_probe(ha, "a_id", salt_partitions),
+            salt_build(hb, salt_partitions),
+            ["band_key", "salt"],
+        )
     )
-    hb = hb.withColumn(
-        "salt", F.explode(F.array(*[F.lit(i) for i in range(s)]))
-    )
-    cands = cands.unionByName(_cands(ha, hb, ["band_key", "salt"]))
     return (
         cands.join(
             c.select(F.col("vec_id").alias("a_id"), F.col("v").alias("a_v")),
