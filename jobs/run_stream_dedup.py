@@ -38,6 +38,9 @@ def main() -> None:
     p.add_argument("--selection", choices=["cc", "greedy"], default="cc")
     p.add_argument("--continuous", action="store_true")
     p.add_argument("--banded-corpus-table", default=None)
+    p.add_argument("--quality-prefilter", action="store_true",
+                   help="run the Gopher rule battery on every batch "
+                        "before the round; flags ship with the lists")
     args = p.parse_args()
 
     from pyspark.sql import SparkSession
@@ -58,6 +61,7 @@ def main() -> None:
         cfg,
         available_now=not args.continuous,
         banded_corpus_table=args.banded_corpus_table,
+        quality_prefilter=args.quality_prefilter,
     )
     q.awaitTermination()
 

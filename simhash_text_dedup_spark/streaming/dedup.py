@@ -57,8 +57,14 @@ def run_dedup_round_batch(
     cfg: DedupConfig = DedupConfig(),
     banded_corpus_table: str | None = None,
     round_checkpoint_root: str | None = None,
+    quality_prefilter: bool = False,
 ) -> None:
     """One streaming micro-batch = one incremental dedup round.
+
+    quality_prefilter: run the Gopher-style rule battery
+    (operators/quality.py) on the batch BEFORE the round — failing
+    docs never reach fingerprinting or the corpus, and the per-doc
+    flags land next to the round's lists (quality_flags/).
 
     Commits ONLY docs that should exist in the corpus going forward:
     spam-killed rows and delete-list losers are never loaded (the
@@ -84,6 +90,35 @@ def run_dedup_round_batch(
 
     if batch_df.isEmpty():
         return
+    quality_flags = None
+    if quality_prefilter:
+        from pyspark.sql import functions as F
+
+        from simhash_text_dedup_spark.operators.quality import quality_filter
+
+        qid = F.xxhash64("repo", "path", "commit")
+        quality_flags = quality_filter(
+            batch_df.withColumn("__qid", qid),
+            id_col="__qid",
+            text_col="content",
+        ).localCheckpoint(eager=False)
+        batch_df = (
+            batch_df.withColumn("__qid", qid)
+            .join(
+                quality_flags.filter(F.col("keep")).select(
+                    F.col("doc_id").alias("__qid")
+                ),
+                "__qid",
+                "left_semi",
+            )
+            .drop("__qid")
+        )
+        if batch_df.isEmpty():
+            write_named_outputs(
+                {"quality_flags": quality_flags},
+                f"{lists_dir}/batch_id={batch_id}",
+            )
+            return
     corpus = SnapshotTable(spark, corpus_table_dir)
     base = None if corpus.is_empty() else corpus.read()
     checkpoint_dir = None
@@ -131,12 +166,15 @@ def run_dedup_round_batch(
             corpus.read(), cfg,
         )
 
+    outputs = {
+        "delete_list": res.delete_list,
+        "modify_list": res.modify_list,
+        "unload": res.unload.select("doc_id", "entity_id"),
+    }
+    if quality_flags is not None:
+        outputs["quality_flags"] = quality_flags
     write_named_outputs(
-        {
-            "delete_list": res.delete_list,
-            "modify_list": res.modify_list,
-            "unload": res.unload.select("doc_id", "entity_id"),
-        },
+        outputs,
         f"{lists_dir}/batch_id={batch_id}",
         formats={"delete_list": "csv", "modify_list": "csv"},
     )
@@ -152,6 +190,7 @@ def stream_dedup_rounds(
     available_now: bool = True,
     max_files_per_trigger: int = 64,
     banded_corpus_table: str | None = None,
+    quality_prefilter: bool = False,
 ):
     """Watch input_dir for new documents parquet files; every
     micro-batch runs a full incremental round and MERGE-commits into
@@ -177,6 +216,7 @@ def stream_dedup_rounds(
             cfg,
             banded_corpus_table=banded_corpus_table,
             round_checkpoint_root=f"{checkpoint_dir}/rounds",
+            quality_prefilter=quality_prefilter,
         )
 
     writer = (

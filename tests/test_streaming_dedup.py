@@ -188,3 +188,44 @@ def test_stream_dedup_banded_rounds(spark, tmp_path_factory, monkeypatch):
             spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
     finally:
         spark.sql("DROP DATABASE IF EXISTS sbd CASCADE")
+
+
+def test_stream_dedup_quality_prefilter(spark, tmp_path_factory):
+    """Junk docs failing the rule battery never reach the corpus; the
+    per-batch flag table ships next to the round lists."""
+    root = tmp_path_factory.mktemp("sdedup_q")
+    in_dir = str(root / "in")
+    os.makedirs(in_dir)
+    corpus_dir = str(root / "corpus")
+    lists_dir = str(root / "lists")
+    ck = str(root / "ck")
+
+    docs, _ = generate_corpus(CorpusSpec(n_docs=60, seed=23))
+    junk = pd.DataFrame(
+        [
+            {"repo": "junkrepo", "path": f"j{i}", "commit": "c0",
+             "lang": "python", "content": "x y"}
+            for i in range(5)
+        ]
+    )
+    pd.concat([docs, junk], ignore_index=True).to_parquet(
+        f"{in_dir}/round0.parquet", index=False
+    )
+
+    q = stream_dedup_rounds(
+        spark, in_dir, corpus_dir, lists_dir, ck, CFG,
+        quality_prefilter=True,
+    )
+    q.awaitTermination(240)
+
+    committed = (
+        SnapshotTable(spark, corpus_dir).read()
+        .withColumn("is_junk", F.col("entity_id").isin(
+            [r.entity_id for r in spark.createDataFrame(junk)
+             .withColumn("entity_id", F.xxhash64("repo", "path"))
+             .select("entity_id").collect()]))
+    )
+    assert committed.filter("is_junk").count() == 0
+    assert committed.count() > 0
+    flags = spark.read.parquet(f"{lists_dir}/batch_id=0/quality_flags")
+    assert flags.filter("NOT keep").count() >= 5
