@@ -1880,6 +1880,105 @@ def _lang_id_sql() -> str:
     return f"SELECT doc_id, {detect_lang_sql('text')} AS lang_pred FROM documents"
 
 
+# ----------------------------------------------------------------------
+# DuckDB twin of the FROZEN PRODUCTION SimHash (fingerprint_core.py
+# module docstring): bytes tokenizer, FNV-64 polynomial token hash,
+# splitmix64 finalizer, order-sensitive shingle fold, per-bit majority.
+# All arithmetic is mod 2^64 emulated with HUGEINT (128-bit) columns —
+# 64x64-bit wrapping multiply is split at 2^32 so intermediates stay
+# below HUGEINT range.  This makes the production fingerprint (and
+# everything downstream of it) directly hash-verifiable, not just via
+# the md5-surrogate family.
+# ----------------------------------------------------------------------
+_P64 = 18446744073709551616  # 2^64
+_P32 = 4294967296            # 2^32
+
+
+def _dd_mul64(a_expr: str, c: int) -> str:
+    """SQL for (a_expr * c) mod 2^64 over HUGEINTs, c < 2^64."""
+    return (
+        f"(((({a_expr}) % {_P32}) * {c}"
+        f" + ((({a_expr}) // {_P32}) * {c} % {_P32}) * {_P32}) % {_P64})"
+    )
+
+
+def _dd_sm64(x: str) -> str:
+    """SQL for splitmix64(x) over a HUGEINT expression < 2^64."""
+    x1 = f"((({x}) + 11400714819323198485) % {_P64})"
+    z1 = _dd_mul64(f"xor({x1}, {x1} >> 30)", 13787848793156543929)
+    z2 = _dd_mul64(f"xor({z1}, {z1} >> 27)", 10723151780598845931)
+    return f"xor({z2}, {z2} >> 31)"
+
+
+# tokens = maximal runs of word bytes ([0-9A-Za-z_] | byte >= 0x80); in
+# UTF-8 every byte of a non-ASCII char is >= 0x80, so byte runs == char
+# runs of this class (RE2, same engine family as the Spark-side spec)
+_TOKEN_RE = r"(?:[0-9A-Za-z_]|[^\x00-\x7F])+"
+_SM_SEED = 11400714819323198485  # fingerprint_core.SEED
+_FNV = 1099511628211             # FNV-64 prime
+
+
+def _true_fp_cte(src: str = "documents", width: int = 3) -> str:
+    """CTE chain computing the production SimHash for every `src` row:
+    sfp_fps(doc_id, fp) with fp as SIGNED int64 (Spark LongType view);
+    zero-token docs get fp = 0 (spec)."""
+    w = width
+    byte_fold = (
+        "list_reduce(list_prepend(0::HUGEINT,"
+        " list_transform(range(1, length(hx) // 2 + 1),"
+        " i -> CAST(strpos('0123456789abcdef', substr(hx, 2*i - 1, 1)) - 1"
+        " AS HUGEINT) * 16"
+        " + CAST(strpos('0123456789abcdef', substr(hx, 2*i, 1)) - 1"
+        f" AS HUGEINT))), (a, b) -> (a * {_FNV} + b) % {_P64})"
+    )
+    return f"""
+  sfp_tok AS (
+    SELECT t.doc_id, u.i AS tpos,
+           lower(hex(encode(t.toks[u.i]))) AS hx
+    FROM (SELECT doc_id,
+                 regexp_extract_all(text, '{_TOKEN_RE}') AS toks
+          FROM {src}) t,
+         unnest(range(1, len(t.toks) + 1)) AS u(i)
+  ),
+  sfp_th AS (
+    SELECT doc_id, tpos, {_dd_sm64('poly')} AS h
+    FROM (SELECT doc_id, tpos, {byte_fold} AS poly FROM sfp_tok)
+  ),
+  sfp_arr AS (
+    SELECT doc_id, list(h ORDER BY tpos) AS ths, count(*) AS n
+    FROM sfp_th GROUP BY doc_id
+  ),
+  sfp_sh AS (
+    SELECT doc_id,
+           list_reduce(
+             list_prepend({_SM_SEED}::HUGEINT,
+                          list_slice(ths, u.i, least(u.i + {w - 1}, n))),
+             (a, b) -> {_dd_sm64('xor(a, b)')}) AS shash
+    FROM sfp_arr,
+         unnest(range(1, CASE WHEN n >= {w} THEN n - {w - 1}
+                              ELSE 1 END + 1)) AS u(i)
+  ),
+  sfp_fpu AS (
+    SELECT doc_id,
+           sum(CASE WHEN v > 0 THEN (1::HUGEINT << bit)
+                    ELSE 0::HUGEINT END) AS fp_u
+    FROM (SELECT doc_id, b.bit,
+                 sum(CASE WHEN (shash >> b.bit) & 1 = 1
+                          THEN 1 ELSE -1 END) AS v
+          FROM sfp_sh, unnest(range(0, 64)) AS b(bit)
+          GROUP BY doc_id, b.bit)
+    GROUP BY doc_id
+  ),
+  sfp_fps AS (
+    SELECT d.doc_id,
+           COALESCE(CASE WHEN f.fp_u >= {_P64 // 2}
+                         THEN f.fp_u - {_P64}::HUGEINT
+                         ELSE f.fp_u END, 0)::BIGINT AS fp
+    FROM {src} d LEFT JOIN sfp_fpu f USING (doc_id)
+  )
+"""
+
+
 # DuckDB twin of _surrogate_fps + the band join / Hamming verify
 # (shared by band_join_pairs and cc_clusters)
 _SURROGATE_PAIRS_CTE = """
@@ -2685,11 +2784,20 @@ def oracle_sql() -> dict[str, str]:
                      AS jaccard_permille
             FROM g a JOIN g b ON b.doc_id = a.doc_id + 1
         """,
-        # simhash_fingerprints / simhash_clusters / doc_fingerprint_xxhash /
-        # minhash_pairs / embedding_topk_lsh / multimodal_features:
-        # intentionally omitted — non-SQL-expressible (pandas-UDF SimHash /
-        # MinHash, iterative connected components, xxhash64, LSH sketches,
-        # binary decode); driver records the rows-only check.
+        # the PRODUCTION fingerprint, hash-verified: the pandas-UDF
+        # SimHash vs the HUGEINT mod-2^64 twin of the frozen spec
+        "simhash_fingerprints": f"""
+            WITH {_true_fp_cte()}
+            SELECT doc_id, fp AS fingerprint FROM sfp_fps
+        """,
+        # doc_fingerprint_xxhash / embedding_topk_lsh / embedding_topk_ivf*
+        # / multimodal_features / media_near_dups: intentionally omitted —
+        # non-SQL-expressible (xxhash64, random-hyperplane sketches,
+        # driver k-means training, binary decode); driver records the
+        # rows-only check.  Each has a hash-verified sibling exercising
+        # the same production operator (doc_fingerprint_md5,
+        # embedding_topk_lsh_signbit, embedding_topk_ivf_axes,
+        # embedding_near_pairs).
     }
     # identical semantics, different physical layout (pre-banded
     # bucketed corpus) — same truth
