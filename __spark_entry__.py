@@ -1337,10 +1337,19 @@ def q_simhash_fingerprints(spark, sf):
 
 
 def q_simhash_clusters(spark, sf):
+    # the FULL production dedup pipeline (pandas-UDF SimHash -> spam
+    # pass -> band join -> CC -> winner selection), hash-verified: the
+    # score input (the reference's externally-supplied `pr`,
+    # incload/PageNode.java:107-109) is injected as a SQL-computable
+    # column so the DuckDB twin can replay winner selection; every
+    # computed stage is the production operator
     from simhash_text_dedup_spark.config import DedupConfig
     from simhash_text_dedup_spark.plans.pipeline import run_dedup
 
-    res = run_dedup(spark, _docs(spark, sf), DedupConfig(spam_threshold=100))
+    d = _docs(spark, sf).withColumn(
+        "score", (F.col("doc_id") % 1000) / F.lit(1000.0)
+    )
+    res = run_dedup(spark, d, DedupConfig(spam_threshold=100))
     return res.clusters.select("doc_id", "cluster_id", "is_representative", "action")
 
 
@@ -2789,6 +2798,70 @@ def oracle_sql() -> dict[str, str]:
         "simhash_fingerprints": f"""
             WITH {_true_fp_cte()}
             SELECT doc_id, fp AS fingerprint FROM sfp_fps
+        """,
+        # the FULL production run_dedup over the true fingerprint:
+        # spam window (threshold 100) -> exact edges -> rep-level band
+        # join (unsigned shift band keys, Hamming 1..3) -> min-label CC
+        # -> score-desc/doc_id-asc winner selection
+        "simhash_clusters": f"""
+            WITH RECURSIVE {_true_fp_cte()},
+            sc_spam AS (
+              SELECT doc_id, fp,
+                     count(*) OVER (PARTITION BY fp) AS c,
+                     min(doc_id) OVER (PARTITION BY fp) AS fp_rep
+              FROM sfp_fps
+            ),
+            sc_surv AS (
+              SELECT doc_id, fp, fp_rep FROM sc_spam
+              WHERE NOT (c > 100 AND doc_id != fp_rep)
+            ),
+            sc_banded AS (
+              SELECT doc_id, fp, b.band,
+                     (CASE WHEN fp < 0 THEN fp::HUGEINT + {_P64}
+                           ELSE fp::HUGEINT END >> (48 - 16 * b.band))
+                       & 65535 AS bk
+              FROM sc_surv, (VALUES (0), (1), (2), (3)) AS b(band)
+              WHERE doc_id = fp_rep
+            ),
+            sc_near AS (
+              SELECT DISTINCT l.doc_id AS a_id, r.doc_id AS b_id
+              FROM sc_banded l JOIN sc_banded r
+                ON l.band = r.band AND l.bk = r.bk
+              WHERE l.doc_id < r.doc_id
+                AND bit_count(xor(l.fp, r.fp)) BETWEEN 1 AND 3
+            ),
+            sc_exact AS (
+              SELECT fp_rep AS a_id, doc_id AS b_id
+              FROM sc_surv WHERE doc_id != fp_rep
+            ),
+            sc_edges AS (
+              SELECT a_id AS a, b_id AS b FROM sc_near
+              UNION SELECT b_id, a_id FROM sc_near
+              UNION SELECT a_id, b_id FROM sc_exact
+              UNION SELECT b_id, a_id FROM sc_exact
+            ),
+            sc_reach(id, label) AS (
+              SELECT DISTINCT a, a FROM sc_edges
+              UNION
+              SELECT e.a, r.label
+              FROM sc_edges e JOIN sc_reach r ON e.b = r.id
+            ),
+            sc_cc AS (
+              SELECT id AS doc_id, min(label) AS cluster_id
+              FROM sc_reach GROUP BY id
+            ),
+            sc_ranked AS (
+              SELECT s.doc_id,
+                     COALESCE(c.cluster_id, s.doc_id) AS cluster_id,
+                     row_number() OVER (
+                       PARTITION BY COALESCE(c.cluster_id, s.doc_id)
+                       ORDER BY (s.doc_id % 1000) / 1000.0 DESC,
+                                s.doc_id ASC) AS rn
+              FROM sc_surv s LEFT JOIN sc_cc c USING (doc_id)
+            )
+            SELECT doc_id, cluster_id, rn = 1 AS is_representative,
+                   CASE WHEN rn = 1 THEN 'keep' ELSE 'delete' END AS action
+            FROM sc_ranked
         """,
         # doc_fingerprint_xxhash / embedding_topk_lsh / embedding_topk_ivf*
         # / multimodal_features / media_near_dups: intentionally omitted —
