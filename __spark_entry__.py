@@ -1763,12 +1763,18 @@ def q_incremental_round(spark, sf):
 
 
 def q_simhash_clusters_greedy(spark, sf):
-    # reference-exact greedy selection mode (rows-only)
+    # reference-exact greedy selection mode, hash-verified: injected
+    # SQL-computable score (see q_simhash_clusters); the oracle replays
+    # the doc-level pair expansion + sequential kill walk as a
+    # recursive CTE
     from simhash_text_dedup_spark.config import DedupConfig
     from simhash_text_dedup_spark.plans.pipeline import run_dedup
 
+    d = _docs(spark, sf).withColumn(
+        "score", (F.col("doc_id") % 1000) / F.lit(1000.0)
+    )
     res = run_dedup(
-        spark, _docs(spark, sf), DedupConfig(spam_threshold=100, selection="greedy")
+        spark, d, DedupConfig(spam_threshold=100, selection="greedy")
     )
     return res.clusters.select("doc_id", "cluster_id", "action")
 
@@ -1984,6 +1990,60 @@ def _true_fp_cte(src: str = "documents", width: int = 3) -> str:
                          THEN f.fp_u - {_P64}::HUGEINT
                          ELSE f.fp_u END, 0)::BIGINT AS fp
     FROM {src} d LEFT JOIN sfp_fpu f USING (doc_id)
+  )
+"""
+
+
+# Shared tail of the production-pipeline twins: spam window ->
+# survivors -> rep-level band join (unsigned shift keys, Hamming 1..3)
+# -> exact edges -> min-label CC.  Used by the simhash_clusters and
+# simhash_clusters_greedy oracles (threshold 100 matches the entries).
+_TRUE_DEDUP_CTE = f"""
+  {_true_fp_cte()},
+  sc_spam AS (
+    SELECT doc_id, fp,
+           count(*) OVER (PARTITION BY fp) AS c,
+           min(doc_id) OVER (PARTITION BY fp) AS fp_rep
+    FROM sfp_fps
+  ),
+  sc_surv AS (
+    SELECT doc_id, fp, fp_rep FROM sc_spam
+    WHERE NOT (c > 100 AND doc_id != fp_rep)
+  ),
+  sc_banded AS (
+    SELECT doc_id, fp, b.band,
+           (CASE WHEN fp < 0 THEN fp::HUGEINT + {_P64}
+                 ELSE fp::HUGEINT END >> (48 - 16 * b.band))
+             & 65535 AS bk
+    FROM sc_surv, (VALUES (0), (1), (2), (3)) AS b(band)
+    WHERE doc_id = fp_rep
+  ),
+  sc_near AS (
+    SELECT DISTINCT l.doc_id AS a_id, r.doc_id AS b_id
+    FROM sc_banded l JOIN sc_banded r
+      ON l.band = r.band AND l.bk = r.bk
+    WHERE l.doc_id < r.doc_id
+      AND bit_count(xor(l.fp, r.fp)) BETWEEN 1 AND 3
+  ),
+  sc_exact AS (
+    SELECT fp_rep AS a_id, doc_id AS b_id
+    FROM sc_surv WHERE doc_id != fp_rep
+  ),
+  sc_edges AS (
+    SELECT a_id AS a, b_id AS b FROM sc_near
+    UNION SELECT b_id, a_id FROM sc_near
+    UNION SELECT a_id, b_id FROM sc_exact
+    UNION SELECT b_id, a_id FROM sc_exact
+  ),
+  sc_reach(id, label) AS (
+    SELECT DISTINCT a, a FROM sc_edges
+    UNION
+    SELECT e.a, r.label
+    FROM sc_edges e JOIN sc_reach r ON e.b = r.id
+  ),
+  sc_cc AS (
+    SELECT id AS doc_id, min(label) AS cluster_id
+    FROM sc_reach GROUP BY id
   )
 """
 
@@ -2804,52 +2864,7 @@ def oracle_sql() -> dict[str, str]:
         # join (unsigned shift band keys, Hamming 1..3) -> min-label CC
         # -> score-desc/doc_id-asc winner selection
         "simhash_clusters": f"""
-            WITH RECURSIVE {_true_fp_cte()},
-            sc_spam AS (
-              SELECT doc_id, fp,
-                     count(*) OVER (PARTITION BY fp) AS c,
-                     min(doc_id) OVER (PARTITION BY fp) AS fp_rep
-              FROM sfp_fps
-            ),
-            sc_surv AS (
-              SELECT doc_id, fp, fp_rep FROM sc_spam
-              WHERE NOT (c > 100 AND doc_id != fp_rep)
-            ),
-            sc_banded AS (
-              SELECT doc_id, fp, b.band,
-                     (CASE WHEN fp < 0 THEN fp::HUGEINT + {_P64}
-                           ELSE fp::HUGEINT END >> (48 - 16 * b.band))
-                       & 65535 AS bk
-              FROM sc_surv, (VALUES (0), (1), (2), (3)) AS b(band)
-              WHERE doc_id = fp_rep
-            ),
-            sc_near AS (
-              SELECT DISTINCT l.doc_id AS a_id, r.doc_id AS b_id
-              FROM sc_banded l JOIN sc_banded r
-                ON l.band = r.band AND l.bk = r.bk
-              WHERE l.doc_id < r.doc_id
-                AND bit_count(xor(l.fp, r.fp)) BETWEEN 1 AND 3
-            ),
-            sc_exact AS (
-              SELECT fp_rep AS a_id, doc_id AS b_id
-              FROM sc_surv WHERE doc_id != fp_rep
-            ),
-            sc_edges AS (
-              SELECT a_id AS a, b_id AS b FROM sc_near
-              UNION SELECT b_id, a_id FROM sc_near
-              UNION SELECT a_id, b_id FROM sc_exact
-              UNION SELECT b_id, a_id FROM sc_exact
-            ),
-            sc_reach(id, label) AS (
-              SELECT DISTINCT a, a FROM sc_edges
-              UNION
-              SELECT e.a, r.label
-              FROM sc_edges e JOIN sc_reach r ON e.b = r.id
-            ),
-            sc_cc AS (
-              SELECT id AS doc_id, min(label) AS cluster_id
-              FROM sc_reach GROUP BY id
-            ),
+            WITH RECURSIVE {_TRUE_DEDUP_CTE},
             sc_ranked AS (
               SELECT s.doc_id,
                      COALESCE(c.cluster_id, s.doc_id) AS cluster_id,
@@ -2862,6 +2877,64 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, cluster_id, rn = 1 AS is_representative,
                    CASE WHEN rn = 1 THEN 'keep' ELSE 'delete' END AS action
             FROM sc_ranked
+        """,
+        # production run_dedup in reference-exact greedy mode: the
+        # same pipeline head, then doc-level pair expansion
+        # (within-fingerprint-group all-pairs + rep-pair member cross)
+        # and the sequential score-ordered kill walk
+        # (SelectLogic.java:104-130) replayed as a recursive CTE
+        "simhash_clusters_greedy": f"""
+            WITH RECURSIVE {_TRUE_DEDUP_CTE},
+            g_members AS (
+              SELECT fp_rep AS rep, doc_id AS member FROM sc_surv
+            ),
+            g_pairs AS (
+              SELECT a.member AS a_id, b.member AS b_id
+              FROM g_members a JOIN g_members b
+                ON a.rep = b.rep AND a.member < b.member
+              UNION ALL
+              SELECT least(ma.member, mb.member) AS a_id,
+                     greatest(ma.member, mb.member) AS b_id
+              FROM sc_near n
+              JOIN g_members ma ON ma.rep = n.a_id
+              JOIN g_members mb ON mb.rep = n.b_id
+            ),
+            g_scored AS (
+              SELECT doc_id, (doc_id % 1000) / 1000.0 AS score
+              FROM sc_surv
+            ),
+            g_oriented AS (
+              SELECT CASE WHEN sb.score > sa.score
+                            OR (sb.score = sa.score AND p.b_id < p.a_id)
+                          THEN p.b_id ELSE p.a_id END AS winner,
+                     CASE WHEN sb.score > sa.score
+                            OR (sb.score = sa.score AND p.b_id < p.a_id)
+                          THEN p.a_id ELSE p.b_id END AS loser,
+                     greatest(sa.score, sb.score) AS wscore
+              FROM g_pairs p
+              JOIN g_scored sa ON sa.doc_id = p.a_id
+              JOIN g_scored sb ON sb.doc_id = p.b_id
+            ),
+            g_ordered AS (
+              SELECT winner, loser,
+                     row_number() OVER (ORDER BY wscore DESC, winner,
+                                        loser) AS rn
+              FROM g_oriented
+            ),
+            g_walk(i, dead) AS (
+              SELECT 0, []::BIGINT[]
+              UNION ALL
+              SELECT o.rn,
+                     CASE WHEN list_contains(w.dead, o.winner) THEN w.dead
+                          ELSE list_append(w.dead, o.loser) END
+              FROM g_walk w JOIN g_ordered o ON o.rn = w.i + 1
+            ),
+            g_dead AS (SELECT dead FROM g_walk ORDER BY i DESC LIMIT 1)
+            SELECT s.doc_id,
+                   COALESCE(c.cluster_id, s.doc_id) AS cluster_id,
+                   CASE WHEN list_contains(d.dead, s.doc_id)
+                        THEN 'delete' ELSE 'keep' END AS action
+            FROM sc_surv s LEFT JOIN sc_cc c USING (doc_id), g_dead d
         """,
         # doc_fingerprint_xxhash / embedding_topk_lsh / embedding_topk_ivf*
         # / multimodal_features / media_near_dups: intentionally omitted —
