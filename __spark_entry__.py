@@ -2048,6 +2048,63 @@ _TRUE_DEDUP_CTE = f"""
 """
 
 
+def _minhash_true_sql() -> str:
+    """DuckDB twin of the PRODUCTION MinHash family (functions/
+    minhash.py frozen spec): perm seed_i = splitmix64(i+1), sig_i =
+    min over shingles of splitmix64(shash XOR seed_i), band key j =
+    splitmix64-fold of sig[4j:4j+4] seeded with j + SEED; token-less
+    docs sign all-maxuint.  Shingle hashes come from the shared
+    true-fingerprint CTE (same tokenizer + width as SimHash)."""
+    maxu = _P64 - 1
+    return f"""
+        WITH {_true_fp_cte()},
+        mh_seeds AS (
+          SELECT i.i AS perm, {_dd_sm64('(i.i + 1)::HUGEINT')} AS seed
+          FROM unnest(range(0, 128)) AS i(i)
+        ),
+        mh_min AS (
+          SELECT s.doc_id, p.perm,
+                 min({_dd_sm64('xor(s.shash, p.seed)')}) AS mv
+          FROM sfp_sh s CROSS JOIN mh_seeds p
+          GROUP BY s.doc_id, p.perm
+        ),
+        mh_sig AS (
+          SELECT d.doc_id,
+                 COALESCE(m.sig,
+                          list_transform(range(0, 128),
+                                         x -> {maxu}::HUGEINT)) AS sig
+          FROM documents d
+          LEFT JOIN (SELECT doc_id, list(mv ORDER BY perm) AS sig
+                     FROM mh_min GROUP BY doc_id) m USING (doc_id)
+        ),
+        mh_bands AS (
+          SELECT doc_id, j.j AS band_idx,
+                 list_reduce(
+                   list_prepend(((j.j + {_SM_SEED}) % {_P64})::HUGEINT,
+                                list_slice(sig, 4 * j.j + 1, 4 * j.j + 4)),
+                   (a, b) -> {_dd_sm64('xor(a, b)')}) AS bkey
+          FROM mh_sig, unnest(range(0, 32)) AS j(j)
+        ),
+        mh_cand AS (
+          SELECT DISTINCT l.doc_id AS a_id, r.doc_id AS b_id
+          FROM mh_bands l JOIN mh_bands r
+            ON l.band_idx = r.band_idx AND l.bkey = r.bkey
+          WHERE l.doc_id < r.doc_id
+        ),
+        mh_est AS (
+          SELECT c.a_id, c.b_id,
+                 list_sum(list_transform(range(1, 129),
+                   i -> CASE WHEN sa.sig[i] = sb.sig[i]
+                             THEN 1 ELSE 0 END)) / 128.0 AS est_jaccard
+          FROM mh_cand c
+          JOIN mh_sig sa ON sa.doc_id = c.a_id
+          JOIN mh_sig sb ON sb.doc_id = c.b_id
+        )
+        SELECT a_id, b_id, est_jaccard FROM mh_est
+        WHERE est_jaccard >= 0.5
+    """
+
+
 # DuckDB twin of _surrogate_fps + the band join / Hamming verify
 # (shared by band_join_pairs and cc_clusters)
 _SURROGATE_PAIRS_CTE = """
@@ -2853,6 +2910,9 @@ def oracle_sql() -> dict[str, str]:
                      AS jaccard_permille
             FROM g a JOIN g b ON b.doc_id = a.doc_id + 1
         """,
+        # the PRODUCTION MinHash family end-to-end (signatures, band
+        # keys, candidate join, signature-Jaccard verify at 0.5)
+        "minhash_pairs": _minhash_true_sql(),
         # the PRODUCTION fingerprint, hash-verified: the pandas-UDF
         # SimHash vs the HUGEINT mod-2^64 twin of the frozen spec
         "simhash_fingerprints": f"""
