@@ -1723,7 +1723,16 @@ def _semdedup_sql() -> str:
 
 
 def q_incremental_round(spark, sf):
-    # incremental new-vs-old dedup round (SURVEY §3.1/§2.9; rows-only)
+    # the PRODUCTION incremental new-vs-old round (run_incremental:
+    # pandas-UDF fingerprints, unload detection, spam window, new x
+    # (new ∪ live-old) band join, per-pair loser split), hash-verified:
+    # doc_id and score are injected SQL-computable inputs (the
+    # reference reads both from the crawl record); entity identity is
+    # xxhash64(repo, path) internally, but only its EQUALITY matters,
+    # which the oracle replays with the originating doc_id as the
+    # entity key.  New batch = novel docs (doc_id % 5 == 0) + unchanged
+    # re-crawls (% 10 == 1 -> unload) + modified re-crawls (% 10 == 3,
+    # two extra tokens -> stale base row excluded, near-pairs possible).
     from simhash_text_dedup_spark.config import DedupConfig
     from simhash_text_dedup_spark.plans.incremental import run_incremental
     from simhash_text_dedup_spark.plans.pipeline import (
@@ -1733,20 +1742,38 @@ def q_incremental_round(spark, sf):
 
     cfg = DedupConfig(spam_threshold=100)
     d = _docs(spark, sf)
-    base_docs = d.filter(F.col("doc_id") % 5 != 0).select(
-        F.lit("corpus").alias("repo"),
-        F.col("doc_id").cast("string").alias("path"),
-        F.lit("c0").alias("commit"),
-        "lang",
-        F.col("text").alias("content"),
+    score = (F.col("doc_id") % 997) / F.lit(997.0)
+
+    def _shape(df, commit):
+        return df.select(
+            "doc_id",
+            F.lit("corpus").alias("repo"),
+            F.col("entity").cast("string").alias("path"),
+            F.lit(commit).alias("commit"),
+            "lang",
+            F.col("text").alias("content"),
+            score.alias("score"),
+        )
+
+    base_docs = _shape(
+        d.filter(F.col("doc_id") % 5 != 0)
+        .withColumn("entity", F.col("doc_id")),
+        "c0",
     )
-    new_docs = d.filter(F.col("doc_id") % 5 == 0).select(
-        F.lit("corpus").alias("repo"),
-        F.col("doc_id").cast("string").alias("path"),
-        F.lit("c1").alias("commit"),
-        "lang",
-        F.col("text").alias("content"),
+    novel = d.filter(F.col("doc_id") % 5 == 0).select(
+        "doc_id", "text", "lang", F.col("doc_id").alias("entity")
     )
+    re_same = d.filter(F.col("doc_id") % 10 == 1).select(
+        (F.col("doc_id") + 10000000).alias("doc_id"),
+        "text", "lang", F.col("doc_id").alias("entity"),
+    )
+    re_mod = d.filter(F.col("doc_id") % 10 == 3).select(
+        (F.col("doc_id") + 20000000).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" zq xw")).alias("text"),
+        "lang", F.col("doc_id").alias("entity"),
+    )
+    new_docs = _shape(novel.unionByName(re_same).unionByName(re_mod), "c1")
+
     prep = prepare_documents(base_docs).withColumn(
         "entity_id", F.xxhash64("repo", "path")
     )
@@ -2913,6 +2940,89 @@ def oracle_sql() -> dict[str, str]:
         # the PRODUCTION MinHash family end-to-end (signatures, band
         # keys, candidate join, signature-Jaccard verify at 0.5)
         "minhash_pairs": _minhash_true_sql(),
+        # the PRODUCTION incremental round over the true fingerprint:
+        # unload (entity+fp match, pre-spam), spam window over the new
+        # batch, stale-base exclusion, new x (new ∪ live-old) band
+        # join (Hamming <= 3 incl. 0), per-pair loser split on the
+        # loaded flag
+        "incremental_round": f"""
+            WITH inc_docs AS (
+              SELECT doc_id, text, doc_id AS entity, TRUE AS is_base
+              FROM documents WHERE doc_id % 5 != 0
+              UNION ALL
+              SELECT doc_id, text, doc_id, FALSE
+              FROM documents WHERE doc_id % 5 = 0
+              UNION ALL
+              SELECT doc_id + 10000000, text, doc_id, FALSE
+              FROM documents WHERE doc_id % 10 = 1
+              UNION ALL
+              SELECT doc_id + 20000000, text || ' zq xw', doc_id, FALSE
+              FROM documents WHERE doc_id % 10 = 3
+            ),
+            {_true_fp_cte('inc_docs')},
+            it AS (
+              SELECT f.doc_id, f.fp, d.entity, d.is_base,
+                     (f.doc_id % 997) / 997.0 AS score
+              FROM sfp_fps f JOIN inc_docs d USING (doc_id)
+            ),
+            ibase AS (SELECT * FROM it WHERE is_base),
+            inew AS (SELECT * FROM it WHERE NOT is_base),
+            iunload AS (
+              SELECT n.doc_id
+              FROM inew n
+              WHERE EXISTS (SELECT 1 FROM ibase b
+                            WHERE b.entity = n.entity AND b.fp = n.fp)
+            ),
+            isurv AS (
+              SELECT doc_id, fp, entity, score FROM (
+                SELECT *, count(*) OVER (PARTITION BY fp) AS c,
+                       min(doc_id) OVER (PARTITION BY fp) AS fp_first
+                FROM inew)
+              WHERE NOT (c > 100 AND doc_id != fp_first)
+            ),
+            iall AS (
+              SELECT doc_id, fp, TRUE AS is_new,
+                     entity IN (SELECT entity FROM ibase) AS loaded,
+                     score
+              FROM isurv
+              UNION ALL
+              SELECT doc_id, fp, FALSE, TRUE, score FROM ibase
+              WHERE entity NOT IN (SELECT entity FROM inew)
+            ),
+            itb AS (
+              SELECT doc_id, fp, is_new, loaded, score, b.band,
+                     (CASE WHEN fp < 0 THEN fp::HUGEINT + {_P64}
+                           ELSE fp::HUGEINT END >> (48 - 16 * b.band))
+                       & 65535 AS bk
+              FROM iall, (VALUES (0), (1), (2), (3)) AS b(band)
+            ),
+            iprs AS (
+              SELECT DISTINCT l.doc_id AS a_id, r.doc_id AS b_id,
+                     l.score AS a_score, r.score AS b_score,
+                     l.loaded AS a_loaded, r.loaded AS b_loaded
+              FROM itb l JOIN itb r
+                ON l.band = r.band AND l.bk = r.bk
+              WHERE l.is_new
+                AND l.doc_id != r.doc_id
+                AND ((NOT r.is_new) OR l.doc_id < r.doc_id)
+                AND bit_count(xor(l.fp, r.fp)) <= 3
+            ),
+            ilosers AS (
+              SELECT CASE WHEN a_score > b_score
+                            OR (a_score = b_score AND a_id < b_id)
+                          THEN b_id ELSE a_id END AS doc_id,
+                     CASE WHEN a_score > b_score
+                            OR (a_score = b_score AND a_id < b_id)
+                          THEN b_loaded ELSE a_loaded END AS loaded
+              FROM iprs
+            )
+            SELECT DISTINCT doc_id, 'delete' AS list
+            FROM ilosers WHERE NOT loaded
+            UNION ALL
+            SELECT DISTINCT doc_id, 'modify' FROM ilosers WHERE loaded
+            UNION ALL
+            SELECT doc_id, 'unload' FROM iunload
+        """,
         # the PRODUCTION fingerprint, hash-verified: the pandas-UDF
         # SimHash vs the HUGEINT mod-2^64 twin of the frozen spec
         "simhash_fingerprints": f"""
