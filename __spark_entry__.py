@@ -1327,7 +1327,10 @@ def _edit_distance_sql() -> str:
     """
 
 
-# --- dedup-specific (non-SQL-expressible: rows-only driver check) -----
+# --- dedup-specific: the production hash families are hash-verified
+# via HUGEINT mod-2^64 DuckDB twins of the frozen specs (see
+# _true_fp_cte / _minhash_true_sql); only decode/xxhash64/random-sketch
+# entries below remain rows-only -----
 def q_simhash_fingerprints(spark, sf):
     from simhash_text_dedup_spark.config import DedupConfig
     from simhash_text_dedup_spark.plans.pipeline import fingerprint_stage, prepare_documents
@@ -1360,7 +1363,8 @@ def q_doc_fingerprint_xxhash(spark, sf):
 
 
 def q_minhash_pairs(spark, sf):
-    # MinHash/LSH near-dup pairs over the documents table (rows-only)
+    # MinHash/LSH near-dup pairs over the documents table, production
+    # splitmix64 family — hash-verified (_minhash_true_sql twin)
     from simhash_text_dedup_spark.config import DedupConfig
     from simhash_text_dedup_spark.operators.minhash_pairs import (
         minhash_signatures,
