@@ -1986,15 +1986,15 @@ def _true_fp_cte(src: str = "documents", width: int = 3) -> str:
           FROM {src}) t,
          unnest(range(1, len(t.toks) + 1)) AS u(i)
   ),
-  sfp_th AS (
+  sfp_th AS MATERIALIZED (
     SELECT doc_id, tpos, {_dd_sm64('poly')} AS h
     FROM (SELECT doc_id, tpos, {byte_fold} AS poly FROM sfp_tok)
   ),
-  sfp_arr AS (
+  sfp_arr AS MATERIALIZED (
     SELECT doc_id, list(h ORDER BY tpos) AS ths, count(*) AS n
     FROM sfp_th GROUP BY doc_id
   ),
-  sfp_sh AS (
+  sfp_sh AS MATERIALIZED (
     SELECT doc_id,
            list_reduce(
              list_prepend({_SM_SEED}::HUGEINT,
@@ -2037,7 +2037,7 @@ _TRUE_DEDUP_CTE = f"""
            min(doc_id) OVER (PARTITION BY fp) AS fp_rep
     FROM sfp_fps
   ),
-  sc_surv AS (
+  sc_surv AS MATERIALIZED (
     SELECT doc_id, fp, fp_rep FROM sc_spam
     WHERE NOT (c > 100 AND doc_id != fp_rep)
   ),
@@ -2049,7 +2049,7 @@ _TRUE_DEDUP_CTE = f"""
     FROM sc_surv, (VALUES (0), (1), (2), (3)) AS b(band)
     WHERE doc_id = fp_rep
   ),
-  sc_near AS (
+  sc_near AS MATERIALIZED (
     SELECT DISTINCT l.doc_id AS a_id, r.doc_id AS b_id
     FROM sc_banded l JOIN sc_banded r
       ON l.band = r.band AND l.bk = r.bk
@@ -2060,7 +2060,7 @@ _TRUE_DEDUP_CTE = f"""
     SELECT fp_rep AS a_id, doc_id AS b_id
     FROM sc_surv WHERE doc_id != fp_rep
   ),
-  sc_edges AS (
+  sc_edges AS MATERIALIZED (
     SELECT a_id AS a, b_id AS b FROM sc_near
     UNION SELECT b_id, a_id FROM sc_near
     UNION SELECT a_id, b_id FROM sc_exact
@@ -2072,7 +2072,7 @@ _TRUE_DEDUP_CTE = f"""
     SELECT e.a, r.label
     FROM sc_edges e JOIN sc_reach r ON e.b = r.id
   ),
-  sc_cc AS (
+  sc_cc AS MATERIALIZED (
     SELECT id AS doc_id, min(label) AS cluster_id
     FROM sc_reach GROUP BY id
   )
@@ -2099,7 +2099,7 @@ def _minhash_true_sql() -> str:
           FROM sfp_sh s CROSS JOIN mh_seeds p
           GROUP BY s.doc_id, p.perm
         ),
-        mh_sig AS (
+        mh_sig AS MATERIALIZED (
           SELECT d.doc_id,
                  COALESCE(m.sig,
                           list_transform(range(0, 128),
@@ -2108,7 +2108,7 @@ def _minhash_true_sql() -> str:
           LEFT JOIN (SELECT doc_id, list(mv ORDER BY perm) AS sig
                      FROM mh_min GROUP BY doc_id) m USING (doc_id)
         ),
-        mh_bands AS (
+        mh_bands AS MATERIALIZED (
           SELECT doc_id, j.j AS band_idx,
                  list_reduce(
                    list_prepend(((j.j + {_SM_SEED}) % {_P64})::HUGEINT,
@@ -2950,7 +2950,7 @@ def oracle_sql() -> dict[str, str]:
         # join (Hamming <= 3 incl. 0), per-pair loser split on the
         # loaded flag
         "incremental_round": f"""
-            WITH inc_docs AS (
+            WITH inc_docs AS MATERIALIZED (
               SELECT doc_id, text, doc_id AS entity, TRUE AS is_base
               FROM documents WHERE doc_id % 5 != 0
               UNION ALL
@@ -2964,13 +2964,13 @@ def oracle_sql() -> dict[str, str]:
               FROM documents WHERE doc_id % 10 = 3
             ),
             {_true_fp_cte('inc_docs')},
-            it AS (
+            it AS MATERIALIZED (
               SELECT f.doc_id, f.fp, d.entity, d.is_base,
                      (f.doc_id % 997) / 997.0 AS score
               FROM sfp_fps f JOIN inc_docs d USING (doc_id)
             ),
-            ibase AS (SELECT * FROM it WHERE is_base),
-            inew AS (SELECT * FROM it WHERE NOT is_base),
+            ibase AS MATERIALIZED (SELECT * FROM it WHERE is_base),
+            inew AS MATERIALIZED (SELECT * FROM it WHERE NOT is_base),
             iunload AS (
               SELECT n.doc_id
               FROM inew n
@@ -2993,7 +2993,7 @@ def oracle_sql() -> dict[str, str]:
               SELECT doc_id, fp, FALSE, TRUE, score FROM ibase
               WHERE entity NOT IN (SELECT entity FROM inew)
             ),
-            itb AS (
+            itb AS MATERIALIZED (
               SELECT doc_id, fp, is_new, loaded, score, b.band,
                      (CASE WHEN fp < 0 THEN fp::HUGEINT + {_P64}
                            ELSE fp::HUGEINT END >> (48 - 16 * b.band))
@@ -3011,7 +3011,7 @@ def oracle_sql() -> dict[str, str]:
                 AND ((NOT r.is_new) OR l.doc_id < r.doc_id)
                 AND bit_count(xor(l.fp, r.fp)) <= 3
             ),
-            ilosers AS (
+            ilosers AS MATERIALIZED (
               SELECT CASE WHEN a_score > b_score
                             OR (a_score = b_score AND a_id < b_id)
                           THEN b_id ELSE a_id END AS doc_id,
@@ -3059,10 +3059,10 @@ def oracle_sql() -> dict[str, str]:
         # (SelectLogic.java:104-130) replayed as a recursive CTE
         "simhash_clusters_greedy": f"""
             WITH RECURSIVE {_TRUE_DEDUP_CTE},
-            g_members AS (
+            g_members AS MATERIALIZED (
               SELECT fp_rep AS rep, doc_id AS member FROM sc_surv
             ),
-            g_pairs AS (
+            g_pairs AS MATERIALIZED (
               SELECT a.member AS a_id, b.member AS b_id
               FROM g_members a JOIN g_members b
                 ON a.rep = b.rep AND a.member < b.member
@@ -3073,7 +3073,7 @@ def oracle_sql() -> dict[str, str]:
               JOIN g_members ma ON ma.rep = n.a_id
               JOIN g_members mb ON mb.rep = n.b_id
             ),
-            g_scored AS (
+            g_scored AS MATERIALIZED (
               SELECT doc_id, (doc_id % 1000) / 1000.0 AS score
               FROM sc_surv
             ),
@@ -3089,7 +3089,7 @@ def oracle_sql() -> dict[str, str]:
               JOIN g_scored sa ON sa.doc_id = p.a_id
               JOIN g_scored sb ON sb.doc_id = p.b_id
             ),
-            g_ordered AS (
+            g_ordered AS MATERIALIZED (
               SELECT winner, loser,
                      row_number() OVER (ORDER BY wscore DESC, winner,
                                         loser) AS rn

@@ -45,10 +45,6 @@ def edge_con():
     return con
 
 
-def _signed(u: int) -> int:
-    return u - (1 << 64) if u >= (1 << 63) else u
-
-
 def test_simhash_twin_edges(edge_con):
     got = dict(
         edge_con.execute(
@@ -57,7 +53,119 @@ def test_simhash_twin_edges(edge_con):
         ).fetchall()
     )
     for doc_id, text in EDGE_DOCS:
-        assert got[doc_id] == _signed(simhash_one(text, 3)), (doc_id, text)
+        # simhash_one returns the signed-int64 view per the frozen spec
+        assert got[doc_id] == simhash_one(text, 3), (doc_id, text)
+
+
+# ---------------------------------------------------------------------
+# Adversarial pipeline parity: the sf0.01 gate corpus has 500 unique
+# texts (no duplicate fingerprints, no %1000 score ties), so the
+# spam-kill, exact-edge, within-group-expansion, tie-break, and
+# empty-doc branches of the pipeline oracles are vacuous there.  This
+# corpus plants all of them and re-runs the production entries vs
+# their DuckDB twins.
+# ---------------------------------------------------------------------
+_ADV_BASE = " ".join(f"tok{i:03d}" for i in range(120))
+
+
+def _variant(j: int) -> str:
+    toks = _ADV_BASE.split()
+    toks[j] = f"alt{j:03d}"
+    return " ".join(toks)
+
+
+def _adv_rows():
+    rows = []
+    # exact-dup flood above the spam threshold (100) — ids span the
+    # %5/%10 classes so the incremental entry sees novel docs,
+    # unchanged re-crawls, and modified re-crawls of flood members
+    for i in range(120):
+        rows.append((100000 + i, "flood body shared by every spam copy"))
+    # exact group below threshold with a %1000 score TIE (all three
+    # ids collide after the injected (doc_id % 1000)/1000.0 score)
+    for i in (42, 2042, 3042):
+        rows.append((i, "exact family kept below the kill threshold"))
+    # near-dup family: single-token variants at Hamming 1 and 3 from
+    # the 120-token base (verified against simhash_one)
+    rows.append((7, _ADV_BASE))
+    rows.append((8, _variant(1)))
+    rows.append((13, _variant(9)))
+    # token-less docs -> fingerprint 0 exact group
+    rows.append((21, ""))
+    rows.append((22, "   "))
+    rows.append((23, "!!! --- ~~~"))
+    # unique filler across the %5/%10 classes
+    for i in (3, 5, 9, 10, 11, 15, 31, 33, 55, 61, 63):
+        rows.append((i, f"unique filler document number {i} with words "
+                        f"{'x' * (i % 7)} {'y' * (i % 5)}"))
+    return rows
+
+
+_ADV_ENTRIES = [
+    "simhash_fingerprints",
+    "simhash_clusters",
+    "simhash_clusters_greedy",
+    "minhash_pairs",
+    "incremental_round",
+]
+
+
+@pytest.fixture(scope="module")
+def adv_dir(tmp_path_factory):
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    d = tmp_path_factory.mktemp("adv_sf")
+    rows = _adv_rows()
+    tbl = pa.table(
+        {
+            "doc_id": pa.array([r[0] for r in rows], pa.int64()),
+            "text": pa.array([r[1] for r in rows], pa.string()),
+            "lang": pa.array(["en"] * len(rows), pa.string()),
+            "source": pa.array(["adv"] * len(rows), pa.string()),
+            "n_chars": pa.array([len(r[1]) for r in rows], pa.int64()),
+        }
+    )
+    pq.write_table(tbl, str(d / "documents.parquet"))
+    return str(d)
+
+
+def test_adversarial_fp_branches_present():
+    # the corpus actually plants what it claims: a >threshold flood,
+    # a sub-threshold exact group, a Hamming-1..3 pair, an fp-0 group
+    rows = _adv_rows()
+    fps = {i: simhash_one(t, 3) for i, t in rows}
+    from collections import Counter
+
+    counts = Counter(fps.values())
+    assert max(counts.values()) > 100
+    assert counts[fps[42]] == 3 and fps[42] == fps[2042]
+    assert counts[fps[21]] == 3 and fps[21] == 0
+    ham = bin((fps[7] ^ fps[8]) & ((1 << 64) - 1)).count("1")
+    assert 1 <= ham <= 3
+
+
+@pytest.mark.parametrize("name", _ADV_ENTRIES)
+def test_adversarial_pipeline_oracles(spark, adv_dir, name):
+    from test_entry_oracle import _rowset
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{adv_dir}/documents.parquet')"
+    )
+    sdf = entry_mod.queries()[name](spark, adv_dir)
+    spark_rows = sdf.collect()
+    res = con.execute(entry_mod.oracle_sql()[name])
+    duck_cols = [d[0] for d in res.description]
+    duck_rows = res.fetchall()
+    assert sorted(sdf.columns) == sorted(duck_cols)
+    assert len(spark_rows) == len(duck_rows), (
+        f"{name}: {len(spark_rows)} vs {len(duck_rows)}"
+    )
+    assert _rowset(sdf.columns, [tuple(r) for r in spark_rows]) == _rowset(
+        duck_cols, duck_rows
+    ), name
 
 
 def test_minhash_twin_edges(edge_con):
