@@ -615,6 +615,40 @@ def q_snapshot_merge(spark, sf):
     return t.read()
 
 
+def q_snapshot_diff(spark, sf):
+    # Iceberg-changelog analog, hash-verified: three commits (append
+    # evens -> MERGE upsert -> overwrite dropping entity_id % 3 == 0),
+    # then the row-level added/removed/changed delta between the first
+    # and last snapshots via TIME-TRAVEL reads
+    # (sources/snapshots.py snapshot_diff; real Iceberg:
+    # CALL system.create_changelog_view / table_changes)
+    import tempfile
+
+    from simhash_text_dedup_spark.sources.snapshots import (
+        SnapshotTable,
+        snapshot_diff,
+    )
+
+    d = _docs(spark, sf)
+    target = d.filter(F.col("doc_id") % 2 == 0).select(
+        F.col("doc_id").alias("entity_id"), F.col("n_chars").alias("val")
+    )
+    source = d.filter(F.col("doc_id") % 4 == 0).select(
+        F.col("doc_id").alias("entity_id"),
+        (F.col("n_chars") + 1000).alias("val"),
+    ).unionByName(
+        d.filter(F.col("doc_id") % 2 == 1).select(
+            F.col("doc_id").alias("entity_id"), F.col("n_chars").alias("val")
+        )
+    )
+    t = SnapshotTable(spark, tempfile.mkdtemp(prefix="snap_diff_"))
+    v1 = t.append(target)
+    v2 = t.merge(source, key_cols=["entity_id"])
+    t.overwrite(t.read(v2).filter(F.col("entity_id") % 3 != 0))
+    v3 = t.current_snapshot()
+    return snapshot_diff(t, v1, v3, ["entity_id"])
+
+
 # saved demo tables rebuilt only when sf changes (see q_bucketed_join)
 _WRITTEN_TABLES: dict[str, str] = {}
 
@@ -1891,6 +1925,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "edit_distance_pairs": q_edit_distance_pairs,
         "render_formats": q_render_formats,
         "snapshot_merge": q_snapshot_merge,
+        "snapshot_diff": q_snapshot_diff,
         "simhash_fingerprints": q_simhash_fingerprints,
         "simhash_clusters": q_simhash_clusters,
         "doc_fingerprint_xxhash": q_doc_fingerprint_xxhash,
@@ -2345,6 +2380,31 @@ def oracle_sql() -> dict[str, str]:
         "cc_clusters": f"""
             WITH RECURSIVE {_SURROGATE_PAIRS_CTE}, {_SURROGATE_CC_CTE}
             SELECT doc_id, cluster_id FROM clusters
+        """,
+        # time-travel changelog: v1 = append evens, v2 = merge upsert
+        # (the snapshot_merge state), v3 = overwrite dropping %3 == 0
+        "snapshot_diff": """
+            WITH v1 AS (
+              SELECT doc_id AS entity_id, n_chars AS val
+              FROM documents WHERE doc_id % 2 = 0
+            ), v2 AS (
+              SELECT entity_id, val FROM v1 WHERE entity_id % 4 != 0
+              UNION ALL
+              SELECT doc_id, n_chars + 1000 FROM documents
+              WHERE doc_id % 4 = 0
+              UNION ALL
+              SELECT doc_id, n_chars FROM documents WHERE doc_id % 2 = 1
+            ), v3 AS (
+              SELECT * FROM v2 WHERE entity_id % 3 != 0
+            ), d AS (
+              SELECT COALESCE(a.entity_id, b.entity_id) AS entity_id,
+                     CASE WHEN a.entity_id IS NULL THEN 'added'
+                          WHEN b.entity_id IS NULL THEN 'removed'
+                          WHEN a.val IS DISTINCT FROM b.val
+                          THEN 'changed' END AS change
+              FROM v1 a FULL OUTER JOIN v3 b ON a.entity_id = b.entity_id
+            )
+            SELECT entity_id, change FROM d WHERE change IS NOT NULL
         """,
         "cluster_agreement": f"""
             WITH RECURSIVE {_SURROGATE_PAIRS_CTE}, {_SURROGATE_CC_CTE},

@@ -165,3 +165,50 @@ class SnapshotTable:
         merged = target.join(keys, key_cols, "left_anti").unionByName(source)
         d, rows = self._write_data(merged, parent + 1)
         return self._commit(parent, "merge", [d], rows)
+
+
+def snapshot_diff(
+    table: SnapshotTable,
+    old_id: int,
+    new_id: int,
+    key_cols: list[str],
+) -> DataFrame:
+    """Row-level delta between two snapshots of a table: one row per
+    key whose state differs, tagged `change` in
+    ('added', 'removed', 'changed').
+
+    The Iceberg-changelog analog (`CALL system.create_changelog_view` /
+    `table_changes`): time travel pins both file lists, so the diff is
+    stable no matter how many commits land afterwards.  Plan shape: one
+    full-outer sort-merge join on the key columns with a null-safe
+    struct comparison of the remaining columns — a single key shuffle
+    of the two pinned snapshots, no driver-side state.  (Real Iceberg
+    additionally prunes unchanged FILES via manifest-level key ranges
+    before the join; the join itself is identical.)
+
+    Reference analog: the incload round ships delete/modify lists
+    computed against the previous corpus state
+    (SelectAndSendJob.java:241-426); this is the same question asked of
+    the committed table after the fact.
+    """
+    from pyspark.sql import functions as F
+
+    old = table.read(old_id)
+    new = table.read(new_id)
+    val_cols = [c for c in old.columns if c not in key_cols]
+    o = old.select(*key_cols, F.struct(*val_cols).alias("_old_val"))
+    n = new.select(*key_cols, F.struct(*val_cols).alias("_new_val"))
+    j = o.join(n, key_cols, "full_outer")
+    change = (
+        F.when(F.col("_old_val").isNull(), F.lit("added"))
+        .when(F.col("_new_val").isNull(), F.lit("removed"))
+        .when(
+            ~F.col("_old_val").eqNullSafe(F.col("_new_val")),
+            F.lit("changed"),
+        )
+    )
+    return (
+        j.withColumn("change", change)
+        .filter(F.col("change").isNotNull())
+        .select(*key_cols, "change")
+    )

@@ -119,3 +119,47 @@ def test_racing_writers_never_corrupt_committed_data(spark, tmp_path):
     assert {r.entity_id for r in t2.read().collect()} == {1, 8}
     with pytest.raises(ConcurrentCommit):
         t1._commit(parent, "append", [d_a], rows_a)
+
+
+def test_snapshot_diff_classes_and_stability(spark, tmp_path):
+    """added/removed/changed classification between two pinned
+    snapshots, and time-travel stability: commits landing AFTER the
+    diff's snapshots must not change its result."""
+    from simhash_text_dedup_spark.sources.snapshots import snapshot_diff
+
+    t = SnapshotTable(spark, str(tmp_path / "t"))
+    v1 = t.append(_df(spark, [(1, 10, 0.5), (2, 20, 0.6), (3, 30, 0.7)]))
+    # v2: entity 2 changed, entity 3 dropped, entity 4 added
+    v2 = t.overwrite(
+        _df(spark, [(1, 10, 0.5), (2, 99, 0.6), (4, 40, 0.8)])
+    )
+    d = {
+        r.entity_id: r.change
+        for r in snapshot_diff(t, v1, v2, ["entity_id"]).collect()
+    }
+    assert d == {2: "changed", 3: "removed", 4: "added"}
+    # unchanged rows (entity 1) never appear
+    # a later commit does not disturb the pinned diff
+    t.append(_df(spark, [(9, 90, 0.9)]))
+    d2 = {
+        r.entity_id: r.change
+        for r in snapshot_diff(t, v1, v2, ["entity_id"]).collect()
+    }
+    assert d2 == d
+
+
+def test_snapshot_diff_value_nulls(spark, tmp_path):
+    """Null-safe value comparison: NULL -> value is 'changed', NULL ==
+    NULL is unchanged."""
+    from simhash_text_dedup_spark.sources.snapshots import snapshot_diff
+
+    rows1 = [(1, None, 0.5), (2, None, 0.6)]
+    rows2 = [(1, None, 0.5), (2, 22, 0.6)]
+    t = SnapshotTable(spark, str(tmp_path / "t"))
+    v1 = t.append(_df(spark, rows1))
+    v2 = t.overwrite(_df(spark, rows2))
+    d = {
+        r.entity_id: r.change
+        for r in snapshot_diff(t, v1, v2, ["entity_id"]).collect()
+    }
+    assert d == {2: "changed"}
