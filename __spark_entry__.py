@@ -588,15 +588,22 @@ def q_ngram_jaccard(spark, sf):
     )
 
 
-def q_snapshot_merge(spark, sf):
-    # S9/J1 analog, hash-verified: Iceberg-shaped snapshot table with
-    # MERGE INTO upsert semantics (sources/snapshots.py; real Iceberg
-    # would run `MERGE INTO ... WHEN MATCHED UPDATE * WHEN NOT MATCHED
-    # INSERT *`). Round-trips through parquet snapshots on disk.
+# snapshot demo tables built once per sf and reused across invocations
+# (round-3 ADVICE: a per-call mkdtemp leaks a table copy per driver
+# run); reads are pinned snapshots, so reuse is deterministic
+_SNAP_DEMOS: dict = {}
+
+
+def _snap_demo(spark, sf):
+    """(table, v1, v3) with the shared three-commit history:
+    v1 = append evens, v2 = MERGE upsert (%4 bumped, odds inserted),
+    v3 = overwrite dropping entity_id % 3 == 0."""
     import tempfile
 
     from simhash_text_dedup_spark.sources.snapshots import SnapshotTable
 
+    if sf in _SNAP_DEMOS:
+        return _SNAP_DEMOS[sf]
     d = _docs(spark, sf)
     target = d.filter(F.col("doc_id") % 2 == 0).select(
         F.col("doc_id").alias("entity_id"), F.col("n_chars").alias("val")
@@ -609,43 +616,34 @@ def q_snapshot_merge(spark, sf):
             F.col("doc_id").alias("entity_id"), F.col("n_chars").alias("val")
         )
     )
-    t = SnapshotTable(spark, tempfile.mkdtemp(prefix="snap_merge_"))
-    t.append(target)
-    t.merge(source, key_cols=["entity_id"])
-    return t.read()
-
-
-def q_snapshot_diff(spark, sf):
-    # Iceberg-changelog analog, hash-verified: three commits (append
-    # evens -> MERGE upsert -> overwrite dropping entity_id % 3 == 0),
-    # then the row-level added/removed/changed delta between the first
-    # and last snapshots via TIME-TRAVEL reads
-    # (sources/snapshots.py snapshot_diff; real Iceberg:
-    # CALL system.create_changelog_view / table_changes)
-    import tempfile
-
-    from simhash_text_dedup_spark.sources.snapshots import (
-        SnapshotTable,
-        snapshot_diff,
-    )
-
-    d = _docs(spark, sf)
-    target = d.filter(F.col("doc_id") % 2 == 0).select(
-        F.col("doc_id").alias("entity_id"), F.col("n_chars").alias("val")
-    )
-    source = d.filter(F.col("doc_id") % 4 == 0).select(
-        F.col("doc_id").alias("entity_id"),
-        (F.col("n_chars") + 1000).alias("val"),
-    ).unionByName(
-        d.filter(F.col("doc_id") % 2 == 1).select(
-            F.col("doc_id").alias("entity_id"), F.col("n_chars").alias("val")
-        )
-    )
-    t = SnapshotTable(spark, tempfile.mkdtemp(prefix="snap_diff_"))
+    t = SnapshotTable(spark, tempfile.mkdtemp(prefix="snap_demo_"))
     v1 = t.append(target)
     v2 = t.merge(source, key_cols=["entity_id"])
     t.overwrite(t.read(v2).filter(F.col("entity_id") % 3 != 0))
-    v3 = t.current_snapshot()
+    _SNAP_DEMOS[sf] = (t, v1, t.current_snapshot())
+    return _SNAP_DEMOS[sf]
+
+
+def q_snapshot_merge(spark, sf):
+    # S9/J1 analog, hash-verified: Iceberg-shaped snapshot table with
+    # MERGE INTO upsert semantics (sources/snapshots.py; real Iceberg
+    # would run `MERGE INTO ... WHEN MATCHED UPDATE * WHEN NOT MATCHED
+    # INSERT *`). Round-trips through parquet snapshots on disk —
+    # time travel to v2 reads the post-merge state even though a later
+    # overwrite moved the table head.
+    t, _v1, v3 = _snap_demo(spark, sf)
+    return t.read(v3 - 1)
+
+
+def q_snapshot_diff(spark, sf):
+    # Iceberg-changelog analog, hash-verified: the row-level
+    # added/removed/changed delta between the first and last commits of
+    # the shared demo history via TIME-TRAVEL reads
+    # (sources/snapshots.py snapshot_diff; real Iceberg:
+    # CALL system.create_changelog_view / table_changes)
+    from simhash_text_dedup_spark.sources.snapshots import snapshot_diff
+
+    t, v1, v3 = _snap_demo(spark, sf)
     return snapshot_diff(t, v1, v3, ["entity_id"])
 
 

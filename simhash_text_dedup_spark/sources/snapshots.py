@@ -190,15 +190,36 @@ def snapshot_diff(
     computed against the previous corpus state
     (SelectAndSendJob.java:241-426); this is the same question asked of
     the committed table after the fact.
+
+    Precondition: `key_cols` must uniquely identify rows within each
+    snapshot (the same contract `merge` relies on); duplicate keys
+    would fan out through the join.  NULL key values are handled
+    null-safely (a NULL-keyed row pairs with its counterpart instead
+    of reporting a spurious added+removed).
     """
+    import functools
+    import operator
+
     from pyspark.sql import functions as F
 
     old = table.read(old_id)
     new = table.read(new_id)
     val_cols = [c for c in old.columns if c not in key_cols]
-    o = old.select(*key_cols, F.struct(*val_cols).alias("_old_val"))
-    n = new.select(*key_cols, F.struct(*val_cols).alias("_new_val"))
-    j = o.join(n, key_cols, "full_outer")
+    o = old.select(
+        *[F.col(k).alias(f"_ok_{k}") for k in key_cols],
+        F.struct(*val_cols).alias("_old_val"),
+    )
+    n = new.select(
+        *[F.col(k).alias(f"_nk_{k}") for k in key_cols],
+        F.struct(*val_cols).alias("_new_val"),
+    )
+    # null-safe equality still plans as a hash/sort-merge equi-join
+    # (Spark's EqualNullSafe join key support)
+    cond = functools.reduce(
+        operator.and_,
+        [F.col(f"_ok_{k}").eqNullSafe(F.col(f"_nk_{k}")) for k in key_cols],
+    )
+    j = o.join(n, cond, "full_outer")
     change = (
         F.when(F.col("_old_val").isNull(), F.lit("added"))
         .when(F.col("_new_val").isNull(), F.lit("removed"))
@@ -210,5 +231,11 @@ def snapshot_diff(
     return (
         j.withColumn("change", change)
         .filter(F.col("change").isNotNull())
-        .select(*key_cols, "change")
+        .select(
+            *[
+                F.coalesce(F.col(f"_ok_{k}"), F.col(f"_nk_{k}")).alias(k)
+                for k in key_cols
+            ],
+            "change",
+        )
     )

@@ -163,3 +163,15 @@ def test_snapshot_diff_value_nulls(spark, tmp_path):
         for r in snapshot_diff(t, v1, v2, ["entity_id"]).collect()
     }
     assert d == {2: "changed"}
+
+
+def test_snapshot_diff_null_keys_pair_up(spark, tmp_path):
+    """A NULL-keyed row present unchanged in both snapshots must NOT
+    surface as a spurious added+removed pair (null-safe key join)."""
+    from simhash_text_dedup_spark.sources.snapshots import snapshot_diff
+
+    t = SnapshotTable(spark, str(tmp_path / "t"))
+    v1 = t.append(_df(spark, [(None, 10, 0.5), (1, 10, 0.5)]))
+    v2 = t.overwrite(_df(spark, [(None, 10, 0.5), (1, 99, 0.5)]))
+    rows = snapshot_diff(t, v1, v2, ["entity_id"]).collect()
+    assert {(r.entity_id, r.change) for r in rows} == {(1, "changed")}

@@ -2,10 +2,15 @@
 families (__spark_entry__._true_fp_cte / _minhash_true_sql).
 
 test_entry_oracle exercises the twins against the real sf0.01 corpus;
-this file covers inputs the corpus does not contain (empty text,
-whitespace-only, sub-width token counts, multi-byte UTF-8, repeated
-tokens) against the executable spec kernels — no Spark session needed,
-so it runs in seconds and survives corpus regeneration.
+this file covers what that corpus cannot:
+
+* Spark-free spec checks (seconds): the twins vs the executable spec
+  kernels on inputs the corpus lacks — empty text, whitespace-only,
+  sub-width token counts, multi-byte UTF-8, repeated tokens.
+* Adversarial pipeline parity (needs the Spark fixture): the five
+  production entries vs their oracles over a planted corpus whose
+  spam-kill / exact-edge / tie-break / near-pair branches the sf gate
+  corpus leaves vacuous.
 """
 
 import duckdb
@@ -141,8 +146,11 @@ def test_adversarial_fp_branches_present():
     assert max(counts.values()) > 100
     assert counts[fps[42]] == 3 and fps[42] == fps[2042]
     assert counts[fps[21]] == 3 and fps[21] == 0
-    ham = bin((fps[7] ^ fps[8]) & ((1 << 64) - 1)).count("1")
-    assert 1 <= ham <= 3
+    # both planted near pairs stay in radius AND at distinct distances
+    # (1 and 3) so the Hamming verify's boundary is really exercised
+    ham18 = bin((fps[7] ^ fps[8]) & ((1 << 64) - 1)).count("1")
+    ham113 = bin((fps[7] ^ fps[13]) & ((1 << 64) - 1)).count("1")
+    assert ham18 == 1 and ham113 == 3
 
 
 @pytest.mark.parametrize("name", _ADV_ENTRIES)
