@@ -1870,6 +1870,38 @@ def q_multimodal_features(spark, sf):
     )
 
 
+def q_lm_quality(spark, sf):
+    # CCNet-style n-gram LM quality pass (Wenzek et al. 2020): bigram
+    # model self-trained on the corpus, add-1 smoothed, per-document
+    # mean conditional probability in integer permille, head/middle/
+    # tail buckets at the tercile cut points read off the <=1001-row
+    # score histogram (no corpus-wide window)
+    from simhash_text_dedup_spark.operators.lm_score import lm_quality
+
+    return lm_quality(_docs(spark, sf), width=2, add_k=1)
+
+
+def q_leakage_safe_split(spark, sf):
+    # leakage-safe train/valid/test split (Lee et al. 2021 §6.2
+    # contamination): planted exact copies (doc_id % 10 == 0 duplicated
+    # at +1e9), clusters by MD5-fingerprint equality, split hashed on
+    # the cluster representative so both copies always land on the
+    # same side of every cut
+    from simhash_text_dedup_spark.functions.text import doc_fingerprint_md5
+    from simhash_text_dedup_spark.operators.splits import assign_splits
+
+    d = _docs(spark, sf).select("doc_id", "text")
+    copies = d.filter(F.col("doc_id") % 10 == 0).select(
+        (F.col("doc_id") + F.lit(1000000000)).alias("doc_id"), "text"
+    )
+    corpus = d.unionByName(copies)
+    fps = corpus.select("doc_id", doc_fingerprint_md5(F.col("text")).alias("fp"))
+    clusters = fps.join(
+        fps.groupBy("fp").agg(F.min("doc_id").alias("cluster_id")), "fp"
+    ).select("doc_id", "cluster_id")
+    return assign_splits(corpus, clusters)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "scan_filter_project": q_scan_filter_project,
@@ -1940,6 +1972,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_near_dups": q_media_near_dups,
         "incremental_round": q_incremental_round,
         "simhash_clusters_greedy": q_simhash_clusters_greedy,
+        "lm_quality": q_lm_quality,
+        "leakage_safe_split": q_leakage_safe_split,
     }
 
 
@@ -3167,6 +3201,92 @@ def oracle_sql() -> dict[str, str]:
                    CASE WHEN list_contains(d.dead, s.doc_id)
                         THEN 'delete' ELSE 'keep' END AS action
             FROM sc_surv s LEFT JOIN sc_cc c USING (doc_id), g_dead d
+        """,
+        # CCNet-style LM quality: self-trained bigram counts, add-1
+        # smoothing over V = distinct prefixes, integer permille mean,
+        # tercile buckets read off the score histogram.  Self-trained =>
+        # every scored gram is in the model, so the join is inner.
+        "lm_quality": """
+            WITH t AS (
+              SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+            ), g AS (
+              SELECT doc_id, toks[i] AS prefix,
+                     toks[i] || ' ' || toks[i + 1] AS gram
+              FROM (SELECT doc_id, toks, unnest(range(1, len(toks))) AS i
+                    FROM t WHERE len(toks) >= 2)
+            ), lm AS (
+              SELECT prefix, gram, count(*)::BIGINT AS c_gram
+              FROM g GROUP BY prefix, gram
+            ), pt AS (
+              SELECT prefix, sum(c_gram)::BIGINT AS c_prefix
+              FROM lm GROUP BY prefix
+            ), vv AS (SELECT count(*)::BIGINT AS v FROM pt),
+            pd AS (
+              SELECT doc_id, prefix, gram, count(*)::BIGINT AS n
+              FROM g GROUP BY doc_id, prefix, gram
+            ), j AS (
+              SELECT pd.doc_id, pd.n,
+                     (1000 * (lm.c_gram + 1)) // (pt.c_prefix + vv.v) AS p
+              FROM pd JOIN lm USING (prefix, gram)
+                      JOIN pt USING (prefix), vv
+            ), sc AS (
+              SELECT doc_id, sum(n)::BIGINT AS n_grams,
+                     (sum(n * p) // sum(n))::BIGINT AS score_permille
+              FROM j GROUP BY doc_id
+            ), alld AS (
+              SELECT d.doc_id, coalesce(sc.n_grams, 0)::BIGINT AS n_grams,
+                     coalesce(sc.score_permille, 0)::BIGINT AS score_permille
+              FROM documents d LEFT JOIN sc USING (doc_id)
+            ), hist AS (
+              SELECT score_permille AS s, count(*)::BIGINT AS c
+              FROM alld GROUP BY 1
+            ), cum AS (
+              SELECT s, sum(c) OVER (ORDER BY s DESC
+                                     ROWS UNBOUNDED PRECEDING) AS cum
+              FROM hist
+            ), nn AS (SELECT count(*)::BIGINT AS n FROM alld),
+            cuts AS (
+              SELECT max(CASE WHEN cum >= (n + 2) // 3 THEN s END)
+                       AS head_cut,
+                     max(CASE WHEN cum >= (2 * n + 2) // 3 THEN s END)
+                       AS mid_cut
+              FROM cum, nn
+            )
+            SELECT doc_id, n_grams, score_permille,
+                   CASE WHEN score_permille >= head_cut THEN 'head'
+                        WHEN score_permille >= mid_cut THEN 'middle'
+                        ELSE 'tail' END AS bucket
+            FROM alld, cuts
+        """,
+        # leakage-safe split: planted exact copies, MD5-fp-equality
+        # clusters (rep = min doc_id), split = md5(rep) permille buckets
+        "leakage_safe_split": """
+            WITH corpus AS (
+              SELECT doc_id, text FROM documents
+              UNION ALL
+              SELECT doc_id + 1000000000, text FROM documents
+              WHERE doc_id % 10 = 0
+            ), f AS (
+              SELECT doc_id,
+                     ('0x' || substring(md5(text), 1, 15))::BIGINT AS fp
+              FROM corpus
+            ), cl AS (
+              SELECT fp, min(doc_id) AS cluster_id FROM f GROUP BY fp
+            ), a AS (
+              SELECT f.doc_id, cl.cluster_id AS split_key
+              FROM f JOIN cl USING (fp)
+            ), h AS (
+              SELECT doc_id, split_key,
+                     ('0x' || substring(
+                        md5(CAST(split_key AS VARCHAR)), 1, 15))::BIGINT
+                       % 1000 AS hh
+              FROM a
+            )
+            SELECT doc_id, split_key,
+                   CASE WHEN hh < 980 THEN 'train'
+                        WHEN hh < 990 THEN 'valid'
+                        ELSE 'test' END AS split
+            FROM h
         """,
         # doc_fingerprint_xxhash / embedding_topk_lsh / embedding_topk_ivf*
         # / multimodal_features / media_near_dups: intentionally omitted —

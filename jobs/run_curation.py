@@ -13,6 +13,8 @@ alongside the near-dup pipeline).
         [--temperature-sample N --group-col lang]
         [--semdedup <embeddings parquet>] [--semdedup-threshold X]
         [--pii-scrub] [--vocab-top K] [--vocab-width N]
+        [--lm-quality] [--lm-width N] [--lm-add-k K]
+        [--assign-splits 980,10,10] [--split-clusters <clusters parquet>]
 
 Outputs (each a parquet dir under --output, only when requested):
     repetition/      per-doc Gopher-style repetition flags
@@ -25,6 +27,8 @@ Outputs (each a parquet dir under --output, only when requested):
     semdedup/        embedding-cluster semantic dedup actions
     scrubbed/        PII/secret-redacted corpus + per-class counts
     vocab/           corpus-wide top-k n-gram frequency table
+    lm_quality/      CCNet-style n-gram LM score + head/middle/tail bucket
+    splits/          leakage-safe cluster-keyed train/valid/test assignment
 
 The input only needs (doc_id, text)-shaped columns; pass --id-col /
 --text-col for other names.
@@ -74,6 +78,21 @@ def main() -> None:
     p.add_argument("--vocab-top", type=int, default=None, metavar="K",
                    help="write the corpus-wide top-K n-gram table")
     p.add_argument("--vocab-width", type=int, default=1)
+    p.add_argument("--lm-quality", action="store_true",
+                   help="CCNet-style n-gram LM quality score + buckets")
+    p.add_argument("--lm-width", type=int, default=2)
+    p.add_argument("--lm-add-k", type=int, default=1)
+    p.add_argument("--lm-reference", default=None, metavar="REF_PARQUET",
+                   help="train the LM on this corpus instead of --input")
+    p.add_argument("--assign-splits", default=None, metavar="PERMILLES",
+                   help="comma permille ratios, e.g. 980,10,10 for "
+                        "train/valid/test")
+    p.add_argument("--split-names", default="train,valid,test")
+    p.add_argument("--split-clusters", default=None,
+                   metavar="CLUSTERS_PARQUET",
+                   help="(doc_id, cluster_id) labeling to key the split "
+                        "on (leakage-safe); omit only for an already-"
+                        "deduplicated corpus")
     args = p.parse_args()
 
     from pyspark.sql import SparkSession
@@ -168,6 +187,32 @@ def main() -> None:
         top_ngrams(
             docs, width=args.vocab_width, k=args.vocab_top, **kw
         ).write.mode("overwrite").parquet(f"{args.output}/vocab")
+    if args.lm_quality:
+        from simhash_text_dedup_spark.operators.lm_score import lm_quality
+
+        ref = (
+            spark.read.parquet(args.lm_reference)
+            if args.lm_reference
+            else None
+        )
+        lm_quality(
+            docs, width=args.lm_width, add_k=args.lm_add_k,
+            reference_corpus=ref, **kw,
+        ).write.mode("overwrite").parquet(f"{args.output}/lm_quality")
+    if args.assign_splits:
+        from simhash_text_dedup_spark.operators.splits import assign_splits
+
+        ratios = tuple(int(x) for x in args.assign_splits.split(","))
+        names = tuple(args.split_names.split(","))
+        clusters = (
+            spark.read.parquet(args.split_clusters)
+            if args.split_clusters
+            else None
+        )
+        assign_splits(
+            docs, clusters, ratios_permille=ratios, names=names,
+            id_col=args.id_col,
+        ).write.mode("overwrite").parquet(f"{args.output}/splits")
 
 
 if __name__ == "__main__":

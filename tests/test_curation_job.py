@@ -162,3 +162,45 @@ def test_run_pipeline_quality_prefilter(spark, tmp_path, monkeypatch):
     clusters = spark.read.parquet(f"{out}/clusters")
     # only surviving docs reach the dedup stage
     assert clusters.count() <= n_keep
+
+
+def test_run_curation_lm_and_splits(spark, tmp_path, monkeypatch):
+    docs = spark.createDataFrame(
+        [
+            (1, "the cat sat on the mat"),
+            (2, "the cat sat on the hat"),
+            (3, "zq xv jk lp"),
+            (4, "the cat sat"),
+        ],
+        "doc_id long, text string",
+    )
+    clusters = spark.createDataFrame(
+        [(1, 1), (2, 1)], "doc_id long, cluster_id long"
+    )
+    inp, cpath, out = (str(tmp_path / d) for d in ("in", "cl", "out"))
+    docs.write.parquet(inp)
+    clusters.write.parquet(cpath)
+
+    monkeypatch.setattr(
+        sys,
+        "argv",
+        [
+            "run_curation.py",
+            "--input", inp, "--output", out,
+            "--lm-quality", "--lm-width", "2", "--lm-add-k", "1",
+            "--assign-splits", "800,100,100",
+            "--split-clusters", cpath,
+        ],
+    )
+    _load_job().main()
+
+    lm = {r.doc_id: r for r in
+          spark.read.parquet(f"{out}/lm_quality").collect()}
+    assert set(lm) == {1, 2, 3, 4}
+    assert lm[1].score_permille > lm[3].score_permille  # junk scores low
+    assert lm[3].bucket == "tail"
+
+    sp = {r.doc_id: r for r in spark.read.parquet(f"{out}/splits").collect()}
+    assert sp[1].split == sp[2].split           # cluster members co-split
+    assert sp[1].split_key == sp[2].split_key == 1
+    assert {r.split for r in sp.values()} <= {"train", "valid", "test"}
