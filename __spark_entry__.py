@@ -1902,6 +1902,15 @@ def q_leakage_safe_split(spark, sf):
     return assign_splits(corpus, clusters)
 
 
+def q_chunk_documents(spark, sf):
+    # passage-window chunking (RAG/BERT sliding windows): 40-token
+    # windows, 8-token overlap, last window clamped full-width; a pure
+    # map-side explode — no shuffle, no window function, no UDF
+    from simhash_text_dedup_spark.operators.chunking import chunk_documents
+
+    return chunk_documents(_docs(spark, sf), chunk_tokens=40, overlap=8)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "scan_filter_project": q_scan_filter_project,
@@ -1974,6 +1983,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_clusters_greedy": q_simhash_clusters_greedy,
         "lm_quality": q_lm_quality,
         "leakage_safe_split": q_leakage_safe_split,
+        "chunk_documents": q_chunk_documents,
     }
 
 
@@ -3287,6 +3297,34 @@ def oracle_sql() -> dict[str, str]:
                         WHEN hh < 990 THEN 'valid'
                         ELSE 'test' END AS split
             FROM h
+        """,
+        # passage-window chunking: width 40, overlap 8 (stride 32),
+        # K = ceil((n-40)/32)+1 windows, last start clamped to n-40
+        "chunk_documents": """
+            WITH t AS (
+              SELECT doc_id, string_split(text, ' ') AS toks,
+                     len(string_split(text, ' '))::BIGINT AS n
+              FROM documents
+            ), p AS (
+              SELECT doc_id, toks, n,
+                     CASE WHEN n <= 40 THEN 1
+                          ELSE (n - 40 + 31) // 32 + 1 END::BIGINT AS k
+              FROM t
+            ), c AS (
+              SELECT doc_id, toks, n, unnest(range(0, k)) AS ki FROM p
+            ), w AS (
+              SELECT doc_id, toks, n, ki::BIGINT AS chunk_idx,
+                     least(ki * 32, greatest(n - 40, 0))::BIGINT
+                       AS start_token
+              FROM c
+            )
+            SELECT doc_id, chunk_idx, start_token,
+                   least(40, n - start_token)::BIGINT AS n_tokens,
+                   array_to_string(
+                     list_slice(toks, start_token + 1,
+                                start_token + least(40, n - start_token)),
+                     ' ') AS chunk_text
+            FROM w
         """,
         # doc_fingerprint_xxhash / embedding_topk_lsh / embedding_topk_ivf*
         # / multimodal_features / media_near_dups: intentionally omitted —

@@ -113,6 +113,7 @@ def main_default() -> None:
         "exact_dup_groups",
         "simhash_clusters",
         "dup_spans",
+        "lm_quality",
     ]
     timings: dict[str, float] = {}
     for name in headline:

@@ -15,6 +15,7 @@ alongside the near-dup pipeline).
         [--pii-scrub] [--vocab-top K] [--vocab-width N]
         [--lm-quality] [--lm-width N] [--lm-add-k K]
         [--assign-splits 980,10,10] [--split-clusters <clusters parquet>]
+        [--chunk-tokens N] [--chunk-overlap K]
 
 Outputs (each a parquet dir under --output, only when requested):
     repetition/      per-doc Gopher-style repetition flags
@@ -29,6 +30,7 @@ Outputs (each a parquet dir under --output, only when requested):
     vocab/           corpus-wide top-k n-gram frequency table
     lm_quality/      CCNet-style n-gram LM score + head/middle/tail bucket
     splits/          leakage-safe cluster-keyed train/valid/test assignment
+    chunks/          fixed-width token-window passages (sliding window)
 
 The input only needs (doc_id, text)-shaped columns; pass --id-col /
 --text-col for other names.
@@ -93,6 +95,14 @@ def main() -> None:
                    help="(doc_id, cluster_id) labeling to key the split "
                         "on (leakage-safe); omit only for an already-"
                         "deduplicated corpus")
+    p.add_argument("--chunk-tokens", type=int, default=None, metavar="N",
+                   help="write fixed-N-token sliding-window passages")
+    p.add_argument("--chunk-overlap", type=int, default=0)
+    p.add_argument("--chunk-last-window", default="clamp",
+                   choices=("clamp", "ragged"),
+                   help="clamp = full-width last window (re-covers "
+                        "tokens); ragged = short tail, exact partition "
+                        "at overlap 0")
     args = p.parse_args()
 
     from pyspark.sql import SparkSession
@@ -213,6 +223,16 @@ def main() -> None:
             docs, clusters, ratios_permille=ratios, names=names,
             id_col=args.id_col,
         ).write.mode("overwrite").parquet(f"{args.output}/splits")
+    if args.chunk_tokens:
+        from simhash_text_dedup_spark.operators.chunking import (
+            chunk_documents,
+        )
+
+        chunk_documents(
+            docs, chunk_tokens=args.chunk_tokens,
+            overlap=args.chunk_overlap,
+            last_window=args.chunk_last_window, **kw,
+        ).write.mode("overwrite").parquet(f"{args.output}/chunks")
 
 
 if __name__ == "__main__":

@@ -190,6 +190,7 @@ def test_run_curation_lm_and_splits(spark, tmp_path, monkeypatch):
             "--lm-quality", "--lm-width", "2", "--lm-add-k", "1",
             "--assign-splits", "800,100,100",
             "--split-clusters", cpath,
+            "--chunk-tokens", "3", "--chunk-overlap", "1",
         ],
     )
     _load_job().main()
@@ -204,3 +205,11 @@ def test_run_curation_lm_and_splits(spark, tmp_path, monkeypatch):
     assert sp[1].split == sp[2].split           # cluster members co-split
     assert sp[1].split_key == sp[2].split_key == 1
     assert {r.split for r in sp.values()} <= {"train", "valid", "test"}
+
+    # doc 1 has 6 tokens: width 3 / overlap 1 -> starts 0, 2, 3 (clamp)
+    ch = sorted(
+        (r.start_token, r.n_tokens)
+        for r in spark.read.parquet(f"{out}/chunks").collect()
+        if r.doc_id == 1
+    )
+    assert ch == [(0, 3), (2, 3), (3, 3)]
