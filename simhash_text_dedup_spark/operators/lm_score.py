@@ -115,6 +115,36 @@ def train_ngram_lm(
     )
 
 
+def _doc_gram_counts(
+    corpus: DataFrame, width: int, id_col: str, text_col: str
+) -> DataFrame:
+    """(doc_id, prefix, gram, n): per-document gram-position counts —
+    the shared base both model training and scoring fold from."""
+    return (
+        _prefix_gram_rows(corpus, width, id_col, text_col)
+        .groupBy("doc_id", "prefix", "gram")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+def _lm_from_doc_counts(per_doc: DataFrame) -> DataFrame:
+    """Fold an LM count table out of per-document gram counts (the
+    self-trained path: the corpus gram stream is exploded and
+    aggregated ONCE, then reused for scoring)."""
+    counts = per_doc.groupBy("prefix", "gram").agg(
+        F.sum("n").alias("c_gram")
+    )
+    prefix_totals = counts.groupBy("prefix").agg(
+        F.sum("c_gram").alias("c_prefix")
+    )
+    return counts.join(prefix_totals, "prefix").select(
+        "prefix",
+        "gram",
+        F.col("c_gram").cast("bigint").alias("c_gram"),
+        F.col("c_prefix").cast("bigint").alias("c_prefix"),
+    )
+
+
 def lm_score(
     corpus: DataFrame,
     lm: DataFrame,
@@ -132,11 +162,22 @@ def lm_score(
     Documents with fewer than ``width`` tokens score 0 with
     n_grams = 0.  V is a broadcast scalar; the prefix-total join is
     LM-sized, never corpus-sized."""
-    per_doc = (
-        _prefix_gram_rows(corpus, width, id_col, text_col)
-        .groupBy("doc_id", "prefix", "gram")
-        .agg(F.count(F.lit(1)).alias("n"))
-    )
+    per_doc = _doc_gram_counts(corpus, width, id_col, text_col)
+    return _score_from_counts(corpus, per_doc, lm, add_k, id_col)
+
+
+def _score_from_counts(
+    corpus: DataFrame,
+    per_doc: DataFrame,
+    lm: DataFrame,
+    add_k: int,
+    id_col: str,
+) -> DataFrame:
+    if add_k > 0:
+        # lm fans out below (probability join + prefix/vocab derivation)
+        # — cut lineage so the model aggregation runs once, not per
+        # consumer branch
+        lm = lm.localCheckpoint(eager=False)
     if add_k == 0:
         joined = per_doc.join(lm, ["prefix", "gram"], "left")
         p = F.when(
@@ -204,7 +245,15 @@ def lm_quality_buckets(
     table, never the corpus); rows tied at a cut all take the higher
     bucket, so the per-row assignment is a broadcast-scalar CASE."""
     s = F.col(score_col)
-    hist = scored.groupBy(s.alias("__s")).agg(F.count(F.lit(1)).alias("__c"))
+    # scored fans out (histogram + final bucket join) and the histogram
+    # fans out again (total + running sum) — cut lineage at both so the
+    # scoring DAG and the tiny aggregate each run once
+    scored = scored.localCheckpoint(eager=False)
+    hist = (
+        scored.groupBy(s.alias("__s"))
+        .agg(F.count(F.lit(1)).alias("__c"))
+        .localCheckpoint(eager=False)
+    )
     # single-partition window is safe here: the histogram is bounded by
     # the score domain (1001 values), not the corpus
     cum_w = Window.orderBy(F.col("__s").desc()).rowsBetween(
@@ -248,10 +297,22 @@ def lm_quality(
     self-supervised variant), score every document, assign
     head/middle/tail buckets.  (doc_id, n_grams, score_permille,
     bucket)."""
-    ref = reference_corpus if reference_corpus is not None else corpus
-    lm = train_ngram_lm(ref, width=width, id_col=id_col, text_col=text_col)
-    scored = lm_score(
-        corpus, lm, width=width, add_k=add_k, id_col=id_col,
-        text_col=text_col,
-    )
+    if reference_corpus is None:
+        # self-trained: explode + aggregate the corpus gram stream ONCE
+        # (lineage cut), fold the model out of the per-doc counts, then
+        # score from the same frame — the naive train-then-score
+        # composition replays the corpus explode per consumer branch
+        per_doc = _doc_gram_counts(
+            corpus, width, id_col, text_col
+        ).localCheckpoint(eager=False)
+        lm = _lm_from_doc_counts(per_doc)
+        scored = _score_from_counts(corpus, per_doc, lm, add_k, id_col)
+    else:
+        lm = train_ngram_lm(
+            reference_corpus, width=width, id_col=id_col, text_col=text_col
+        )
+        scored = lm_score(
+            corpus, lm, width=width, add_k=add_k, id_col=id_col,
+            text_col=text_col,
+        )
     return lm_quality_buckets(scored)
