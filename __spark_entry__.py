@@ -1881,6 +1881,19 @@ def q_lm_quality(spark, sf):
     return lm_quality(_docs(spark, sf), width=2, add_k=1)
 
 
+def q_lm_quality_ref(spark, sf):
+    # cross-corpus variant: the model trains on a held-out reference
+    # slice (doc_id % 97 == 0, the same split device as decontaminate)
+    # and scores the REST — exercises the external-model path and the
+    # unseen-gram / unseen-prefix smoothing arithmetic end-to-end
+    from simhash_text_dedup_spark.operators.lm_score import lm_quality
+
+    d = _docs(spark, sf)
+    ref = d.filter(F.col("doc_id") % 97 == 0)
+    rest = d.filter(F.col("doc_id") % 97 != 0)
+    return lm_quality(rest, width=2, add_k=1, reference_corpus=ref)
+
+
 def q_leakage_safe_split(spark, sf):
     # leakage-safe train/valid/test split (Lee et al. 2021 §6.2
     # contamination): planted exact copies (doc_id % 10 == 0 duplicated
@@ -1982,6 +1995,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "incremental_round": q_incremental_round,
         "simhash_clusters_greedy": q_simhash_clusters_greedy,
         "lm_quality": q_lm_quality,
+        "lm_quality_ref": q_lm_quality_ref,
         "leakage_safe_split": q_leakage_safe_split,
         "chunk_documents": q_chunk_documents,
     }
@@ -3247,6 +3261,64 @@ def oracle_sql() -> dict[str, str]:
               SELECT d.doc_id, coalesce(sc.n_grams, 0)::BIGINT AS n_grams,
                      coalesce(sc.score_permille, 0)::BIGINT AS score_permille
               FROM documents d LEFT JOIN sc USING (doc_id)
+            ), hist AS (
+              SELECT score_permille AS s, count(*)::BIGINT AS c
+              FROM alld GROUP BY 1
+            ), cum AS (
+              SELECT s, sum(c) OVER (ORDER BY s DESC
+                                     ROWS UNBOUNDED PRECEDING) AS cum
+              FROM hist
+            ), nn AS (SELECT count(*)::BIGINT AS n FROM alld),
+            cuts AS (
+              SELECT max(CASE WHEN cum >= (n + 2) // 3 THEN s END)
+                       AS head_cut,
+                     max(CASE WHEN cum >= (2 * n + 2) // 3 THEN s END)
+                       AS mid_cut
+              FROM cum, nn
+            )
+            SELECT doc_id, n_grams, score_permille,
+                   CASE WHEN score_permille >= head_cut THEN 'head'
+                        WHEN score_permille >= mid_cut THEN 'middle'
+                        ELSE 'tail' END AS bucket
+            FROM alld, cuts
+        """,
+        # cross-corpus LM quality: model from the doc_id % 97 == 0
+        # slice, scored set = the rest; unseen grams/prefixes take the
+        # smoothed floor (left joins + coalesce 0)
+        "lm_quality_ref": """
+            WITH t AS (
+              SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+            ), g AS (
+              SELECT doc_id, toks[i] AS prefix,
+                     toks[i] || ' ' || toks[i + 1] AS gram
+              FROM (SELECT doc_id, toks, unnest(range(1, len(toks))) AS i
+                    FROM t WHERE len(toks) >= 2)
+            ), lm AS (
+              SELECT prefix, gram, count(*)::BIGINT AS c_gram
+              FROM g WHERE doc_id % 97 = 0 GROUP BY prefix, gram
+            ), pt AS (
+              SELECT prefix, sum(c_gram)::BIGINT AS c_prefix
+              FROM lm GROUP BY prefix
+            ), vv AS (SELECT count(*)::BIGINT AS v FROM pt),
+            pd AS (
+              SELECT doc_id, prefix, gram, count(*)::BIGINT AS n
+              FROM g WHERE doc_id % 97 <> 0
+              GROUP BY doc_id, prefix, gram
+            ), j AS (
+              SELECT pd.doc_id, pd.n,
+                     (1000 * (coalesce(lm.c_gram, 0) + 1))
+                       // (coalesce(pt.c_prefix, 0) + vv.v) AS p
+              FROM pd LEFT JOIN lm USING (prefix, gram)
+                      LEFT JOIN pt USING (prefix), vv
+            ), sc AS (
+              SELECT doc_id, sum(n)::BIGINT AS n_grams,
+                     (sum(n * p) // sum(n))::BIGINT AS score_permille
+              FROM j GROUP BY doc_id
+            ), alld AS (
+              SELECT d.doc_id, coalesce(sc.n_grams, 0)::BIGINT AS n_grams,
+                     coalesce(sc.score_permille, 0)::BIGINT AS score_permille
+              FROM documents d LEFT JOIN sc USING (doc_id)
+              WHERE d.doc_id % 97 <> 0
             ), hist AS (
               SELECT score_permille AS s, count(*)::BIGINT AS c
               FROM alld GROUP BY 1
