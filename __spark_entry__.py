@@ -1409,6 +1409,58 @@ def q_minhash_pairs(spark, sf):
     return minhash_verified_pairs(sigs, cfg).select("a_id", "b_id", "est_jaccard")
 
 
+def q_incremental_minhash_pairs(spark, sf):
+    # §3.1 x M5 hash-verified: the PRODUCTION incremental MinHash round
+    # (operators/minhash_pairs.minhash_verified_pairs_incremental — new
+    # x new once, new x live-old always, old x old never, stale rows of
+    # re-crawled entities excluded per DeDupMapper.java:156-158,
+    # first-shared-band dedup, hot-bucket salt routing) over the
+    # documents table: even doc_ids play the loaded corpus, odd the new
+    # batch, plus planted re-crawls (+30M unchanged, +40M modified).
+    # Oracle: _incremental_minhash_sql (frozen splitmix64 family in
+    # HUGEINT SQL over the same derived doc set).
+    from simhash_text_dedup_spark.config import DedupConfig
+    from simhash_text_dedup_spark.operators.minhash_pairs import (
+        minhash_signatures,
+        minhash_verified_pairs_incremental,
+    )
+
+    cfg = DedupConfig(jaccard_threshold=0.5)
+    d = _docs(spark, sf)
+    base = d.select(
+        "doc_id", F.col("text").alias("content"),
+        F.col("doc_id").alias("entity_id"),
+        (F.col("doc_id") % 2 == 1).alias("is_new"),
+    )
+    unchanged = d.filter(F.col("doc_id") % 20 == 4).select(
+        (F.col("doc_id") + 30000000).alias("doc_id"),
+        F.col("text").alias("content"),
+        F.col("doc_id").alias("entity_id"),
+        F.lit(True).alias("is_new"),
+    )
+    modified = d.filter(F.col("doc_id") % 20 == 14).select(
+        (F.col("doc_id") + 40000000).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" zq zq zq")).alias("content"),
+        F.col("doc_id").alias("entity_id"),
+        F.lit(True).alias("is_new"),
+    )
+    docs = base.unionByName(unchanged).unionByName(modified)
+    sigs = minhash_signatures(docs.select("doc_id", "content"), cfg).join(
+        docs.select("doc_id", "entity_id", "is_new"), "doc_id"
+    )
+    score = (F.col("doc_id") % 1000 / F.lit(1000.0)).alias("score")
+    new_sigs = sigs.filter("is_new").select(
+        "doc_id", "entity_id", "sig", "bands",
+        (F.col("entity_id") % 2 == 0).alias("is_loaded"), score,
+    )
+    base_sigs = sigs.filter("NOT is_new").select(
+        "doc_id", "entity_id", "sig", "bands", score
+    )
+    return minhash_verified_pairs_incremental(new_sigs, base_sigs, cfg).select(
+        "a_id", "b_id", "est_jaccard", "b_is_new"
+    )
+
+
 def q_embedding_topk_lsh(spark, sf):
     # approximate ANN: hyperplane-LSH candidates + exact re-rank
     from simhash_text_dedup_spark.operators.similarity import lsh_topk
@@ -1982,6 +2034,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_clusters": q_simhash_clusters,
         "doc_fingerprint_xxhash": q_doc_fingerprint_xxhash,
         "minhash_pairs": q_minhash_pairs,
+        "incremental_minhash_pairs": q_incremental_minhash_pairs,
         "embedding_topk_lsh": q_embedding_topk_lsh,
         "embedding_topk_lsh_signbit": q_embedding_topk_lsh_signbit,
         "embedding_near_pairs": q_embedding_near_pairs,
@@ -2170,16 +2223,17 @@ _TRUE_DEDUP_CTE = f"""
 """
 
 
-def _minhash_true_sql() -> str:
-    """DuckDB twin of the PRODUCTION MinHash family (functions/
-    minhash.py frozen spec): perm seed_i = splitmix64(i+1), sig_i =
-    min over shingles of splitmix64(shash XOR seed_i), band key j =
-    splitmix64-fold of sig[4j:4j+4] seeded with j + SEED; token-less
-    docs sign all-maxuint.  Shingle hashes come from the shared
-    true-fingerprint CTE (same tokenizer + width as SimHash)."""
+def _minhash_cte(src: str = "documents") -> str:
+    """CTE chain computing the frozen PRODUCTION MinHash family
+    (functions/minhash.py spec) for every `src` row (needs doc_id,
+    text): mh_sig(doc_id, sig array), mh_bands(doc_id, band_idx, bkey).
+    perm seed_i = splitmix64(i+1), sig_i = min over shingles of
+    splitmix64(shash XOR seed_i), band key j = splitmix64-fold of
+    sig[4j:4j+4] seeded with j + SEED; token-less docs sign
+    all-maxuint.  Shingle hashes come from the shared true-fingerprint
+    CTE (same tokenizer + width as SimHash)."""
     maxu = _P64 - 1
-    return f"""
-        WITH {_true_fp_cte()},
+    return f"""{_true_fp_cte(src)},
         mh_seeds AS (
           SELECT i.i AS perm, {_dd_sm64('(i.i + 1)::HUGEINT')} AS seed
           FROM unnest(range(0, 128)) AS i(i)
@@ -2195,7 +2249,7 @@ def _minhash_true_sql() -> str:
                  COALESCE(m.sig,
                           list_transform(range(0, 128),
                                          x -> {maxu}::HUGEINT)) AS sig
-          FROM documents d
+          FROM {src} d
           LEFT JOIN (SELECT doc_id, list(mv ORDER BY perm) AS sig
                      FROM mh_min GROUP BY doc_id) m USING (doc_id)
         ),
@@ -2206,7 +2260,14 @@ def _minhash_true_sql() -> str:
                                 list_slice(sig, 4 * j.j + 1, 4 * j.j + 4)),
                    (a, b) -> {_dd_sm64('xor(a, b)')}) AS bkey
           FROM mh_sig, unnest(range(0, 32)) AS j(j)
-        ),
+        )"""
+
+
+def _minhash_true_sql() -> str:
+    """DuckDB twin of the production batch MinHash pair set (see
+    _minhash_cte for the frozen family)."""
+    return f"""
+        WITH {_minhash_cte()},
         mh_cand AS (
           SELECT DISTINCT l.doc_id AS a_id, r.doc_id AS b_id
           FROM mh_bands l JOIN mh_bands r
@@ -2223,6 +2284,55 @@ def _minhash_true_sql() -> str:
           JOIN mh_sig sb ON sb.doc_id = c.b_id
         )
         SELECT a_id, b_id, est_jaccard FROM mh_est
+        WHERE est_jaccard >= 0.5
+    """
+
+
+def _incremental_minhash_sql() -> str:
+    """DuckDB twin of q_incremental_minhash_pairs: the same derived doc
+    set (even doc_ids = loaded corpus, odd = new batch, +30M unchanged
+    re-crawls, +40M text-modified re-crawls), the reference's stale-row
+    exclusion (DeDupMapper.java:156-158), the incremental pair domain
+    (new x new once, new x old always, old x old never), and signature
+    Jaccard >= 0.5 over the frozen HUGEINT splitmix64 family."""
+    return f"""
+        WITH inc_docs AS (
+          SELECT doc_id, text, doc_id AS entity_id,
+                 (doc_id % 2 = 1) AS is_new
+          FROM documents
+          UNION ALL
+          SELECT doc_id + 30000000, text, doc_id, TRUE
+          FROM documents WHERE doc_id % 20 = 4
+          UNION ALL
+          SELECT doc_id + 40000000, text || ' zq zq zq', doc_id, TRUE
+          FROM documents WHERE doc_id % 20 = 14
+        ),
+        live_docs AS MATERIALIZED (
+          SELECT * FROM inc_docs
+          WHERE is_new OR entity_id NOT IN
+                (SELECT entity_id FROM inc_docs WHERE is_new)
+        ),
+        {_minhash_cte("live_docs")},
+        mh_cand AS (
+          SELECT DISTINCT l.doc_id AS a_id, r.doc_id AS b_id,
+                 rd.is_new AS b_is_new
+          FROM mh_bands l
+          JOIN live_docs ld ON ld.doc_id = l.doc_id AND ld.is_new
+          JOIN mh_bands r ON l.band_idx = r.band_idx AND l.bkey = r.bkey
+          JOIN live_docs rd ON rd.doc_id = r.doc_id
+          WHERE l.doc_id != r.doc_id
+            AND (NOT rd.is_new OR l.doc_id < r.doc_id)
+        ),
+        mh_est AS (
+          SELECT c.a_id, c.b_id, c.b_is_new,
+                 list_sum(list_transform(range(1, 129),
+                   i -> CASE WHEN sa.sig[i] = sb.sig[i]
+                             THEN 1 ELSE 0 END)) / 128.0 AS est_jaccard
+          FROM mh_cand c
+          JOIN mh_sig sa ON sa.doc_id = c.a_id
+          JOIN mh_sig sb ON sb.doc_id = c.b_id
+        )
+        SELECT a_id, b_id, est_jaccard, b_is_new FROM mh_est
         WHERE est_jaccard >= 0.5
     """
 
@@ -3060,6 +3170,7 @@ def oracle_sql() -> dict[str, str]:
         # the PRODUCTION MinHash family end-to-end (signatures, band
         # keys, candidate join, signature-Jaccard verify at 0.5)
         "minhash_pairs": _minhash_true_sql(),
+        "incremental_minhash_pairs": _incremental_minhash_sql(),
         # the PRODUCTION incremental round over the true fingerprint:
         # unload (entity+fp match, pre-spam), spam window over the new
         # batch, stale-base exclusion, new x (new ∪ live-old) band

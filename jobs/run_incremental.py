@@ -9,6 +9,14 @@ jobs probing the loaded HBase corpus).
         --corpus-table <snapshot table dir> --output <dir> \
         [--checkpoint <dir>] [--spam-threshold N] [--selection cc|greedy]
         [--resume] [--banded-corpus-table <name>]
+        [--minhash-sigs-table <snapshot dir>]
+
+--minhash-sigs-table enables the MinHash borderline path for the round
+(cfg.enable_minhash): the batch's signatures probe the corpus
+signature table across the same new-vs-old domain, MinHash-verified
+pairs (kind='minhash') join the pair set, and after the commit the
+batch's signatures MERGE into the table by entity_id — the signature
+analog of the fingerprint corpus table.
 
 --banded-corpus-table routes the round's band join through the SAVED
 pre-banded bucketed layout (sources/banded_corpus.py): the corpus
@@ -49,6 +57,7 @@ def main() -> None:
     p.add_argument("--selection", choices=["cc", "greedy"], default="cc")
     p.add_argument("--resume", action="store_true")
     p.add_argument("--banded-corpus-table", default=None)
+    p.add_argument("--minhash-sigs-table", default=None)
     args = p.parse_args()
 
     from pyspark.sql import SparkSession
@@ -81,10 +90,18 @@ def main() -> None:
             write_banded_corpus(base, args.banded_corpus_table, cfg)
         banded = args.banded_corpus_table
 
+    sigs_table = None
+    base_sigs = None
+    if args.minhash_sigs_table is not None:
+        cfg = cfg.with_(enable_minhash=True)
+        sigs_table = SnapshotTable(spark, args.minhash_sigs_table)
+        base_sigs = None if sigs_table.is_empty() else sigs_table.read()
+
     res = run_incremental(
         spark, new_docs, base, cfg,
         checkpoint_dir=args.checkpoint, resume=args.resume,
         banded_corpus_table=banded, verify_banded_sync=False,
+        base_sigs=base_sigs,
     )
 
     # commit ONLY docs that should exist in the corpus going forward:
@@ -111,6 +128,17 @@ def main() -> None:
             corpus.read(), cfg,
         )
         print(f"banded corpus maintenance: {action}")
+    if sigs_table is not None and res.new_signatures is not None:
+        # signature commit mirrors the fingerprint commit: the join to
+        # to_commit keeps exactly the surviving docs (spam kills and
+        # delete-list losers never load)
+        sig_commit = (
+            res.new_signatures
+            .join(to_commit.select("doc_id", "score"), "doc_id")
+            .select("doc_id", "entity_id", "sig", "bands", "score")
+        )
+        ssnap = sigs_table.merge(sig_commit, key_cols=["entity_id"])
+        print(f"committed signature snapshot {ssnap}")
     write_named_outputs(
         {
             "delete_list": res.delete_list,

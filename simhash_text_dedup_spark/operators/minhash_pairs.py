@@ -129,6 +129,148 @@ def minhash_verified_pairs(
     )
 
 
+def minhash_verified_pairs_incremental(
+    new_sigs: DataFrame, base_sigs: DataFrame, cfg: DedupConfig
+) -> DataFrame:
+    """Incremental MinHash/LSH round: verified near-dup pairs between a
+    NEW signature batch and the already-committed corpus signatures.
+
+    Pair domain mirrors plans/incremental.candidate_pairs (the
+    reference's probe rule, incload/DeDupMapper.java:70-81,220-226):
+    new x new emitted once (a_id < b_id), new x live-old always kept
+    (new doc on the `a` side), old x old never compared.  Stale base
+    rows of re-crawled entities are excluded up front — the reference
+    mapper overwrites finger with newfinger (DeDupMapper.java:156-158),
+    so a new version never pairs with its own previous signature.
+
+    new_sigs:  (doc_id, entity_id, sig, bands, is_loaded, score) — the
+               batch's signatures (minhash_signatures over the round's
+               spam survivors, entity/score bookkeeping joined on).
+    base_sigs: (doc_id, entity_id, sig, bands, score) — the corpus
+               signature table committed by previous rounds (the
+               MinHash analog of the fingerprint base table).
+
+    Returns (a_id, b_id, est_jaccard, a_is_new, b_is_new, a_loaded,
+    b_loaded, a_score, b_score) with est_jaccard >= jaccard_threshold;
+    `a` is always the new side.
+
+    Scale shape: identical to the batch join — only (doc_id, band_idx,
+    band_key, earlier-band prefix) rides the shuffle; the wide
+    signatures join back onto the small candidate set.  Hot band
+    buckets (corpus-side histogram > band_bucket_cap) leave the plain
+    equi-join for the salted sub-join: the big corpus bucket is hashed
+    across salt_partitions by b_id, the (tiny) new rows sharing the
+    hot key are replicated per salt.  A pair is emitted only in its
+    first shared band — pure signature arithmetic, so the hot/cold
+    routing never double-emits or drops a pair.
+    """
+    # stale-row exclusion: every entity participates once, with its
+    # CURRENT signature
+    base_live = base_sigs.join(
+        new_sigs.select("entity_id").distinct(), "entity_id", "left_anti"
+    )
+    # lineage cuts: both frames sit on the (expensive) minhash UDF and
+    # feed the hot histogram + both join branches + the verify join-back
+    new_side = new_sigs.select(
+        "doc_id", "sig", "bands",
+        F.lit(True).alias("is_new"), "is_loaded", "score",
+    ).localCheckpoint(eager=False)
+    all_side = new_side.unionByName(
+        base_live.select(
+            "doc_id", "sig", "bands",
+            F.lit(False).alias("is_new"), F.lit(True).alias("is_loaded"),
+            "score",
+        )
+    ).localCheckpoint(eager=False)
+
+    def _banded(side: DataFrame) -> DataFrame:
+        return side.select(
+            "doc_id", "is_new",
+            F.posexplode("bands").alias("band_idx", "band_key"),
+            F.col("bands").alias("_bands"),
+        ).select(
+            "doc_id", "is_new", "band_idx", "band_key",
+            F.expr("slice(_bands, 1, band_idx)").alias("prefix"),
+        )
+
+    left = _banded(new_side).select(
+        "band_idx", "band_key",
+        F.col("doc_id").alias("a_id"), F.col("prefix").alias("a_prefix"),
+    )
+    right = _banded(all_side).select(
+        "band_idx", "band_key",
+        F.col("doc_id").alias("b_id"), F.col("prefix").alias("b_prefix"),
+        F.col("is_new").alias("b_is_new"),
+    )
+
+    earlier_match = F.exists(
+        F.zip_with(
+            F.col("a_prefix"), F.col("b_prefix"), lambda x, y: x == y
+        ),
+        lambda m: m,
+    )
+
+    def _cands(lf: DataFrame, rf: DataFrame, keys: list) -> DataFrame:
+        return (
+            lf.join(rf, keys)
+            .filter((~F.col("b_is_new")) | (F.col("a_id") < F.col("b_id")))
+            .filter(F.col("a_id") != F.col("b_id"))
+            .filter(~earlier_match)
+            .select("a_id", "b_id", "b_is_new")
+        )
+
+    from .skew import salt_build, salt_probe
+
+    keys = ["band_idx", "band_key"]
+    hot = (
+        right.groupBy(*keys)
+        .agg(F.count(F.lit(1)).alias("n"))
+        .filter(F.col("n") > int(cfg.band_bucket_cap))
+        .select(*keys)
+        .localCheckpoint(eager=False)
+    )
+    cold = _cands(
+        left.join(F.broadcast(hot), keys, "left_anti"),
+        right.join(F.broadcast(hot), keys, "left_anti"),
+        keys,
+    )
+    hot_pairs = _cands(
+        salt_build(left.join(F.broadcast(hot), keys, "left_semi"),
+                   cfg.salt_partitions),
+        salt_probe(right.join(F.broadcast(hot), keys, "left_semi"),
+                   "b_id", cfg.salt_partitions),
+        keys + ["salt"],
+    )
+    cands = cold.unionByName(hot_pairs)
+
+    n = cfg.minhash_perms
+    a_meta = new_side.select(
+        F.col("doc_id").alias("a_id"), F.col("sig").alias("a_sig"),
+        F.col("is_loaded").alias("a_loaded"), F.col("score").alias("a_score"),
+    )
+    b_meta = all_side.select(
+        F.col("doc_id").alias("b_id"), F.col("sig").alias("b_sig"),
+        F.col("is_loaded").alias("b_loaded"), F.col("score").alias("b_score"),
+    )
+    matches = F.size(
+        F.filter(
+            F.zip_with(F.col("a_sig"), F.col("b_sig"), lambda x, y: x == y),
+            lambda t: t,
+        )
+    )
+    return (
+        cands.join(a_meta, "a_id")
+        .join(b_meta, "b_id")
+        .withColumn("est_jaccard", matches / F.lit(float(n)))
+        .filter(F.col("est_jaccard") >= cfg.jaccard_threshold)
+        .select(
+            "a_id", "b_id", "est_jaccard",
+            F.lit(True).alias("a_is_new"), "b_is_new",
+            "a_loaded", "b_loaded", "a_score", "b_score",
+        )
+    )
+
+
 _CONTAIN_SCHEMA = "a_id long, b_id long, contained boolean"
 
 

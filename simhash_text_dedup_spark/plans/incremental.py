@@ -72,6 +72,11 @@ class IncrementalResult:
     modify_list: DataFrame       # doc_id (already-loaded losers)
     clusters: DataFrame          # doc_id, cluster_id (touched subgraph)
     metrics: dict | None = None  # observed_metrics callable (A7 counters)
+    # batch MinHash signatures (doc_id, entity_id, sig, bands) when
+    # cfg.enable_minhash — append these to the corpus signature table
+    # after the round commits, the way new_fingerprints feed the
+    # fingerprint base
+    new_signatures: DataFrame | None = None
 
 
 def _banded(fps: DataFrame, cfg: DedupConfig) -> DataFrame:
@@ -227,6 +232,7 @@ def run_incremental(
     resume: bool = True,
     banded_corpus_table: str | None = None,
     verify_banded_sync: bool = True,
+    base_sigs: DataFrame | None = None,
 ) -> IncrementalResult:
     """One incremental round.
 
@@ -247,6 +253,13 @@ def run_incremental(
               (metadata-only parquet counts) — a layout that silently
               drifted from the corpus would produce a WRONG pair set
               (round-3 ADVICE); raises ValueError on mismatch.
+    base_sigs: corpus MinHash signature table (doc_id, entity_id, sig,
+              bands, score) when cfg.enable_minhash — the previous
+              rounds' `new_signatures` appended to a running table.
+              None = empty corpus (first round).  The round then unions
+              MinHash-verified pairs (kind='minhash') into the pair
+              set; SimHash pairs win on overlap (kind priority
+              near > minhash, same rule as the batch pipeline).
     """
     ck = Checkpointer(spark, checkpoint_dir, resume)
 
@@ -331,6 +344,59 @@ def run_incremental(
             )
         )
         pairs_df = candidate_pairs(new_side, all_side, cfg)
+
+    new_sigs_out: DataFrame | None = None
+    if cfg.enable_minhash:
+        # --- MinHash borderline path across the SAME incremental
+        # domain (new x new once, new x live-old, old x old never):
+        # batch signatures over the spam survivors, corpus signatures
+        # from the committed table
+        from simhash_text_dedup_spark.operators.minhash_pairs import (
+            minhash_signatures,
+            minhash_verified_pairs_incremental,
+        )
+
+        surviving_prepared = prepared.join(
+            survivors.select("doc_id"), "doc_id", "left_semi"
+        )
+        new_sigs_out = ck.through(
+            minhash_signatures(surviving_prepared, cfg).join(
+                prepared.select("doc_id", "entity_id"), "doc_id"
+            ),
+            "minhash_sigs",
+        )
+        if base_sigs is None:
+            base_sigs = spark.createDataFrame(
+                [],
+                "doc_id long, entity_id long, sig array<bigint>, "
+                "bands array<bigint>, score double",
+            )
+        mh = minhash_verified_pairs_incremental(
+            new_sigs_out.join(
+                new_side.select("doc_id", "is_loaded", "score"), "doc_id"
+            ),
+            base_sigs,
+            cfg,
+        )
+        # SimHash pairs win on overlap (kind priority near > minhash,
+        # as in the batch pipeline's row_number dedup); the anti-join
+        # runs over two small pair sets, not the corpus
+        pairs_df = pairs_df.select(
+            "*",
+            F.lit("near").alias("kind"),
+            F.lit(None).cast("double").alias("est_jaccard"),
+        )
+        mh_only = mh.join(
+            pairs_df.select("a_id", "b_id"), ["a_id", "b_id"], "left_anti"
+        ).select(
+            "a_id", "b_id", F.lit(None).cast("int").alias("hamming"),
+            "a_is_new", "b_is_new", "a_loaded", "b_loaded",
+            "a_score", "b_score",
+            F.lit("minhash").alias("kind"), "est_jaccard",
+        )
+        pairs_df = pairs_df.withColumn(
+            "hamming", F.col("hamming").cast("int")
+        ).unionByName(mh_only)
     pairs = ck.through(pairs_df, "pairs")
 
     cc = connected_components(
@@ -383,4 +449,5 @@ def run_incremental(
         modify_list=modify_list,
         clusters=cc,
         metrics={"observed_metrics": ck.observed_metrics},
+        new_signatures=new_sigs_out,
     )
