@@ -1461,6 +1461,33 @@ def q_incremental_minhash_pairs(spark, sf):
     )
 
 
+def q_bloom_prefilter(spark, sf):
+    # Scale pattern for the incremental exact-dup membership check:
+    # a broadcast Bloom filter built over the corpus digests rejects
+    # most of the new batch MAP-SIDE before the verification join
+    # (operators/bloom.py — the digest analog of the reference's
+    # in-heap memtable probe, incload/MemTable.java).  m is
+    # deliberately tiny (1024 bits) so bloom FALSE POSITIVES occur at
+    # this scale and the exact join provably resolves them.
+    # Hash-verified: the frozen splitmix64 position family replayed in
+    # HUGEINT SQL (_bloom_prefilter_sql).
+    from simhash_text_dedup_spark.operators.bloom import bloom_prefilter
+
+    d = _docs(spark, sf)
+    fp = F.conv(F.substring(F.md5(F.col("text")), 1, 15), 16, 10).cast("long")
+    corpus = d.filter(F.col("doc_id") % 2 == 0).select(fp.alias("d"))
+    batch = d.filter(F.col("doc_id") % 2 == 1).select(
+        "doc_id", fp.alias("d")
+    ).unionByName(
+        # planted exact re-uploads of corpus docs
+        d.filter(F.col("doc_id") % 20 == 6).select(
+            (F.col("doc_id") + 50000000).alias("doc_id"), fp.alias("d")
+        )
+    )
+    out = bloom_prefilter(batch, corpus, "d", m_bits=1024, k=4)
+    return out.select("doc_id", "maybe_dup", "is_dup")
+
+
 def q_embedding_topk_lsh(spark, sf):
     # approximate ANN: hyperplane-LSH candidates + exact re-rank
     from simhash_text_dedup_spark.operators.similarity import lsh_topk
@@ -2035,6 +2062,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_fingerprint_xxhash": q_doc_fingerprint_xxhash,
         "minhash_pairs": q_minhash_pairs,
         "incremental_minhash_pairs": q_incremental_minhash_pairs,
+        "bloom_prefilter": q_bloom_prefilter,
         "embedding_topk_lsh": q_embedding_topk_lsh,
         "embedding_topk_lsh_signbit": q_embedding_topk_lsh_signbit,
         "embedding_near_pairs": q_embedding_near_pairs,
@@ -2334,6 +2362,51 @@ def _incremental_minhash_sql() -> str:
         )
         SELECT a_id, b_id, est_jaccard, b_is_new FROM mh_est
         WHERE est_jaccard >= 0.5
+    """
+
+
+def _bloom_prefilter_sql() -> str:
+    """DuckDB twin of q_bloom_prefilter: the frozen Bloom position
+    family (operators/bloom.py — pos_i = splitmix64(digest XOR
+    splitmix64(1000003 + i)) mod m, m=1024, k=4) over the same
+    even-corpus / odd-batch / planted-re-upload split; membership =
+    all k positions present in the corpus bit set, is_dup = the exact
+    verification join's answer."""
+    m, k = 1024, 4
+    return f"""
+        WITH corpus AS MATERIALIZED (
+          SELECT DISTINCT ('0x' || substring(md5(text), 1, 15))::BIGINT AS d
+          FROM documents WHERE doc_id % 2 = 0
+        ),
+        batch AS (
+          SELECT doc_id, ('0x' || substring(md5(text), 1, 15))::BIGINT AS d
+          FROM documents WHERE doc_id % 2 = 1
+          UNION ALL
+          SELECT doc_id + 50000000,
+                 ('0x' || substring(md5(text), 1, 15))::BIGINT
+          FROM documents WHERE doc_id % 20 = 6
+        ),
+        seeds AS (
+          SELECT {_dd_sm64('(1000003 + i.i)::HUGEINT')} AS seed
+          FROM unnest(range(0, {k})) AS i(i)
+        ),
+        cbits AS MATERIALIZED (
+          SELECT DISTINCT {_dd_sm64('xor(c.d::HUGEINT, s.seed)')} % {m} AS pos
+          FROM corpus c CROSS JOIN seeds s
+        ),
+        bpos AS (
+          SELECT b.doc_id, b.d,
+                 {_dd_sm64('xor(b.d::HUGEINT, s.seed)')} % {m} AS pos
+          FROM batch b CROSS JOIN seeds s
+        ),
+        maybe AS (
+          SELECT p.doc_id, p.d, bool_and(cb.pos IS NOT NULL) AS maybe_dup
+          FROM bpos p LEFT JOIN cbits cb USING (pos)
+          GROUP BY p.doc_id, p.d
+        )
+        SELECT mb.doc_id, mb.maybe_dup,
+               (mb.maybe_dup AND mb.d IN (SELECT d FROM corpus)) AS is_dup
+        FROM maybe mb
     """
 
 
@@ -3171,6 +3244,7 @@ def oracle_sql() -> dict[str, str]:
         # keys, candidate join, signature-Jaccard verify at 0.5)
         "minhash_pairs": _minhash_true_sql(),
         "incremental_minhash_pairs": _incremental_minhash_sql(),
+        "bloom_prefilter": _bloom_prefilter_sql(),
         # the PRODUCTION incremental round over the true fingerprint:
         # unload (entity+fp match, pre-spam), spam window over the new
         # batch, stale-base exclusion, new x (new ∪ live-old) band
