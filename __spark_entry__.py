@@ -1461,6 +1461,46 @@ def q_incremental_minhash_pairs(spark, sf):
     )
 
 
+def q_quality_classifier(spark, sf):
+    # fastText-style hashed-feature linear classifier, trained AND
+    # scored in Spark (operators/classify.py — the LLaMA/RedPajama
+    # wiki-reference-filter pattern).  The synthetic corpus shares one
+    # vocabulary across langs (nothing real to learn there), so the
+    # fixture PLANTS a learnable label: doc_id%3==0 docs carry a
+    # 'curated reference notes' marker vocabulary, the rest 'promo
+    # banner offer' — the shared base text is the noise the model must
+    # overcome.  Even doc_ids train, odd are scored; the decision
+    # threshold is the training base rate (fastText's bias analog —
+    # with an unbalanced prior the raw 500 midpoint misclassifies
+    # everything).  Model bounded by n_buckets -> broadcast at scale;
+    # integer permille -> hash-verified (_quality_classifier_sql).
+    from simhash_text_dedup_spark.operators.classify import (
+        classifier_score,
+        train_linear_classifier,
+    )
+
+    d = _docs(spark, sf).select(
+        "doc_id",
+        (F.col("doc_id") % 3 == 0).alias("label"),
+        F.concat(
+            F.col("text"),
+            F.when(F.col("doc_id") % 3 == 0,
+                   F.lit(" curated reference notes curated archive guide"))
+            .otherwise(F.lit(" promo banner offer promo sale deal")),
+        ).alias("text"),
+    )
+    train = d.filter(F.col("doc_id") % 2 == 0)
+    model = train_linear_classifier(train, n_buckets=65536)
+    thr = train.agg(
+        (F.sum(F.when(F.col("label"), 1).otherwise(0)) * 1000
+         / F.count(F.lit(1))).cast("bigint").alias("b")
+    ).collect()[0].b
+    return classifier_score(
+        d.filter(F.col("doc_id") % 2 == 1), model, n_buckets=65536,
+        threshold_permille=int(thr), prior_permille=int(thr),
+    ).select("doc_id", "n_features", "score_permille", "pred")
+
+
 def q_bloom_prefilter(spark, sf):
     # Scale pattern for the incremental exact-dup membership check:
     # a broadcast Bloom filter built over the corpus digests rejects
@@ -2063,6 +2103,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_pairs": q_minhash_pairs,
         "incremental_minhash_pairs": q_incremental_minhash_pairs,
         "bloom_prefilter": q_bloom_prefilter,
+        "quality_classifier": q_quality_classifier,
         "embedding_topk_lsh": q_embedding_topk_lsh,
         "embedding_topk_lsh_signbit": q_embedding_topk_lsh_signbit,
         "embedding_near_pairs": q_embedding_near_pairs,
@@ -2362,6 +2403,66 @@ def _incremental_minhash_sql() -> str:
         )
         SELECT a_id, b_id, est_jaccard, b_is_new FROM mh_est
         WHERE est_jaccard >= 0.5
+    """
+
+
+def _quality_classifier_sql() -> str:
+    """DuckDB twin of q_quality_classifier: the frozen hashed-feature
+    family (operators/classify.py — per-doc distinct unigrams +
+    word-bigrams, bucket = md5-prefix mod 4096, Laplace permille
+    weights, mean-weight score with the 500 prior for unseen buckets
+    and featureless docs, base-rate decision threshold) over the same
+    planted marker-vocabulary label."""
+    return """
+        WITH docs AS (
+          SELECT doc_id, (doc_id % 3 = 0) AS label,
+                 text || CASE WHEN doc_id % 3 = 0
+                              THEN ' curated reference notes curated archive guide'
+                              ELSE ' promo banner offer promo sale deal' END AS text
+          FROM documents
+        ),
+        toks AS MATERIALIZED (
+          SELECT doc_id, label,
+                 list_filter(string_split(text, ' '), x -> x != '') AS t
+          FROM docs
+        ),
+        fb AS MATERIALIZED (
+          SELECT doc_id, label,
+                 ('0x' || substring(md5(f.f), 1, 15))::BIGINT % 65536 AS bucket
+          FROM (
+            SELECT doc_id, label,
+                   unnest(list_distinct(
+                     t || list_transform(range(1, greatest(len(t), 1)),
+                                         i -> t[i] || ' ' || t[i + 1])
+                   )) AS f
+            FROM toks
+          ) AS f
+        ),
+        thr AS (
+          SELECT (1000 * sum(CASE WHEN label THEN 1 ELSE 0 END))
+                   // count(*) AS b
+          FROM docs WHERE doc_id % 2 = 0
+        ),
+        model AS (
+          SELECT bucket,
+                 (1000 * (sum(CASE WHEN label THEN 1 ELSE 0 END) + 1))
+                   // (count(*) + 2) AS w
+          FROM fb WHERE doc_id % 2 = 0 GROUP BY bucket
+        ),
+        score AS (
+          SELECT f.doc_id, count(*) AS n_features,
+                 sum(COALESCE(m.w, (SELECT b FROM thr))) // count(*)
+                   AS score_permille
+          FROM fb f LEFT JOIN model m USING (bucket)
+          WHERE f.doc_id % 2 = 1 GROUP BY f.doc_id
+        )
+        SELECT d.doc_id,
+               COALESCE(s.n_features, 0) AS n_features,
+               COALESCE(s.score_permille, (SELECT b FROM thr)) AS score_permille,
+               (COALESCE(s.score_permille, (SELECT b FROM thr))
+                  >= (SELECT b FROM thr)) AS pred
+        FROM docs d LEFT JOIN score s USING (doc_id)
+        WHERE d.doc_id % 2 = 1
     """
 
 
@@ -3245,6 +3346,7 @@ def oracle_sql() -> dict[str, str]:
         "minhash_pairs": _minhash_true_sql(),
         "incremental_minhash_pairs": _incremental_minhash_sql(),
         "bloom_prefilter": _bloom_prefilter_sql(),
+        "quality_classifier": _quality_classifier_sql(),
         # the PRODUCTION incremental round over the true fingerprint:
         # unload (entity+fp match, pre-spam), spam window over the new
         # batch, stale-base exclusion, new x (new ∪ live-old) band
