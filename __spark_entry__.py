@@ -1461,6 +1461,16 @@ def q_incremental_minhash_pairs(spark, sf):
     )
 
 
+def q_corpus_report(spark, sf):
+    # data-card report (operators/report.py): per-language doc/source
+    # counts, size totals, emptiness and GLOBAL exact-duplication rates
+    # — one corpus hash agg + a digest agg/join-back, integer-exact
+    # permille, hash-verified.
+    from simhash_text_dedup_spark.operators.report import corpus_report
+
+    return corpus_report(_docs(spark, sf))
+
+
 def q_quality_classifier(spark, sf):
     # fastText-style hashed-feature linear classifier, trained AND
     # scored in Spark (operators/classify.py — the LLaMA/RedPajama
@@ -2104,6 +2114,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "incremental_minhash_pairs": q_incremental_minhash_pairs,
         "bloom_prefilter": q_bloom_prefilter,
         "quality_classifier": q_quality_classifier,
+        "corpus_report": q_corpus_report,
         "embedding_topk_lsh": q_embedding_topk_lsh,
         "embedding_topk_lsh_signbit": q_embedding_topk_lsh_signbit,
         "embedding_near_pairs": q_embedding_near_pairs,
@@ -2403,6 +2414,38 @@ def _incremental_minhash_sql() -> str:
         )
         SELECT a_id, b_id, est_jaccard, b_is_new FROM mh_est
         WHERE est_jaccard >= 0.5
+    """
+
+
+def _corpus_report_sql() -> str:
+    """DuckDB twin of q_corpus_report (operators/report.py): per-lang
+    stats with the corpus token convention (len(string_split) with the
+    empty-string zero guard) and GLOBAL md5 duplicate groups."""
+    return """
+        WITH base AS MATERIALIZED (
+          SELECT lang AS slice, doc_id, source,
+                 length(text)::BIGINT AS n_chars,
+                 (CASE WHEN text = '' THEN 0
+                       ELSE len(string_split(text, ' ')) END)::BIGINT
+                   AS n_tokens,
+                 md5(text) AS dg
+          FROM documents
+        ),
+        dups AS (SELECT dg FROM base GROUP BY dg HAVING count(*) > 1)
+        SELECT slice,
+               count(*)::BIGINT AS n_docs,
+               count(DISTINCT source)::BIGINT AS n_sources,
+               sum(CASE WHEN n_tokens = 0 THEN 1 ELSE 0 END)::BIGINT
+                 AS n_empty,
+               sum(n_chars)::BIGINT AS total_chars,
+               sum(n_tokens)::BIGINT AS total_tokens,
+               sum(n_tokens)::BIGINT // count(*) AS mean_tokens,
+               sum(CASE WHEN dg IN (SELECT dg FROM dups)
+                        THEN 1 ELSE 0 END)::BIGINT AS n_exact_dup,
+               (1000 * sum(CASE WHEN dg IN (SELECT dg FROM dups)
+                                THEN 1 ELSE 0 END))::BIGINT // count(*)
+                 AS dup_permille
+        FROM base GROUP BY slice
     """
 
 
@@ -3347,6 +3390,7 @@ def oracle_sql() -> dict[str, str]:
         "incremental_minhash_pairs": _incremental_minhash_sql(),
         "bloom_prefilter": _bloom_prefilter_sql(),
         "quality_classifier": _quality_classifier_sql(),
+        "corpus_report": _corpus_report_sql(),
         # the PRODUCTION incremental round over the true fingerprint:
         # unload (entity+fp match, pre-spam), spam window over the new
         # batch, stale-base exclusion, new x (new ∪ live-old) band
