@@ -413,6 +413,41 @@ def q_quality_filter(spark, sf):
     )
 
 
+def q_code_filter(spark, sf):
+    # Stack/StarCoder-style code-file filter battery over a planted
+    # variant of the corpus: doc_id%37 gets an autogen header, doc_id%13
+    # is newline-ified (space->newline) so the line-shape rules see both
+    # extremes; thresholds calibrated to the sf0.01 distribution so all
+    # five rules fire (139/235/83/17/14 of 500; 207 keep). Everything is
+    # integer-exact (permille / milli via integer division) so the
+    # DuckDB twin hash-matches bit-for-bit.
+    from simhash_text_dedup_spark.operators.code_quality import code_filter
+
+    d = _docs(spark, sf)
+    planted = d.select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % 37 == 0,
+            F.concat(
+                F.lit("// Auto-Generated by graft-gen\n"), F.col("text")
+            ),
+        )
+        .when(
+            F.col("doc_id") % 13 == 0,
+            F.regexp_replace(F.col("text"), " ", "\n"),
+        )
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+    return code_filter(
+        planted,
+        max_line_len=400,
+        max_mean_line_milli=300_000,
+        min_alnum_permille=815,
+        max_hex_permille=280,
+    )
+
+
 def q_temperature_sample(spark, sf):
     # data-mixing: alpha=0.5 temperature stratified sample over the
     # language groups — integer-exact quotas (floor-sqrt weights,
@@ -2078,6 +2113,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pii_scrub": q_pii_scrub,
         "top_ngrams": q_top_ngrams,
         "quality_filter": q_quality_filter,
+        "code_filter": q_code_filter,
         "temperature_sample": q_temperature_sample,
         "dup_spans": q_dup_spans,
         "dup_span_strip": q_dup_span_strip,
@@ -3207,6 +3243,70 @@ def oracle_sql() -> dict[str, str]:
               FROM m
             )
             SELECT doc_id, n_tokens, reasons, reasons = '' AS keep FROM r
+        """,
+        # Stack/StarCoder code-filter battery on the planted variant
+        # (%37 autogen header, %13 newline-ified). All metrics integer
+        # (permille / milli via // integer division, CLAUDE.md rule 4);
+        # sum(line lengths) is derived as length(text) - n_lines + 1,
+        # same arithmetic as operators/code_quality.py.
+        "code_filter": """
+            WITH p AS (
+              SELECT doc_id,
+                     CASE WHEN doc_id % 37 = 0
+                          THEN '// Auto-Generated by graft-gen'
+                               || chr(10) || text
+                          WHEN doc_id % 13 = 0
+                          THEN replace(text, ' ', chr(10))
+                          ELSE text END AS text
+              FROM documents
+            ), m AS (
+              SELECT doc_id,
+                     coalesce(list_max(list_transform(
+                       string_split(text, chr(10)), l -> length(l))),
+                       0)::BIGINT AS max_line_len,
+                     ((1000 * (length(text)
+                               - len(string_split(text, chr(10))) + 1))
+                      // len(string_split(text, chr(10))))::BIGINT
+                       AS mean_line_milli,
+                     CASE WHEN length(text) = 0 THEN 0
+                          ELSE (1000 * length(regexp_replace(text,
+                                 '[^0-9A-Za-z]', '', 'g')))
+                               // length(text)
+                     END::BIGINT AS alnum_permille,
+                     CASE WHEN length(text) = 0 THEN 0
+                          ELSE (1000 * length(regexp_replace(text,
+                                 '[^0-9A-Fa-f]', '', 'g')))
+                               // length(text)
+                     END::BIGINT AS hex_permille,
+                     (contains(lower(array_to_string(list_slice(
+                        string_split(text, chr(10)), 1, 5), chr(10))),
+                        'auto-generated')
+                      OR contains(lower(array_to_string(list_slice(
+                        string_split(text, chr(10)), 1, 5), chr(10))),
+                        'autogenerated')
+                      OR contains(lower(array_to_string(list_slice(
+                        string_split(text, chr(10)), 1, 5), chr(10))),
+                        'generated by')) AS is_autogen
+              FROM p
+            ), r AS (
+              SELECT doc_id, max_line_len, mean_line_milli,
+                     alnum_permille, hex_permille,
+                     concat_ws(',',
+                       CASE WHEN max_line_len > 400
+                            THEN 'long_lines' END,
+                       CASE WHEN mean_line_milli > 300000
+                            THEN 'mean_line_len' END,
+                       CASE WHEN alnum_permille < 815
+                            THEN 'low_alnum' END,
+                       CASE WHEN hex_permille > 280
+                            THEN 'hex_data' END,
+                       CASE WHEN is_autogen
+                            THEN 'autogenerated' END) AS reasons
+              FROM m
+            )
+            SELECT doc_id, max_line_len, mean_line_milli, alnum_permille,
+                   hex_permille, reasons, reasons = '' AS keep
+            FROM r
         """,
         "temperature_sample": """
             WITH c AS (
