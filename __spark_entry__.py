@@ -2088,6 +2088,98 @@ def q_chunk_documents(spark, sf):
     return chunk_documents(_docs(spark, sf), chunk_tokens=40, overlap=8)
 
 
+# ----------------------------------------------------------------------
+# repo-granularity operators (operators/repo_dedup.py): the input table
+# is (repo, path, commit, lang, content) — these exercise the repo and
+# commit axes the per-document queries never touch.  Shared derivation
+# (identical in the DuckDB twins): base repos 'r<doc_id % 23>' over the
+# documents table; fork repos 'f<g>' for groups g < 6 holding 80% of
+# the group's files (doc_id % 10 < 8) — J ~ 0.8 vs the base repo.
+# ----------------------------------------------------------------------
+def _repo_docs(spark, sf):
+    d = _docs(spark, sf)
+    base = d.select(
+        F.concat(F.lit("r"), (F.col("doc_id") % 23).cast("string")).alias("repo"),
+        F.col("text").alias("content"),
+    )
+    forks = d.filter((F.col("doc_id") % 23 < 6) & (F.col("doc_id") % 10 < 8)).select(
+        F.concat(F.lit("f"), (F.col("doc_id") % 23).cast("string")).alias("repo"),
+        F.col("text").alias("content"),
+    )
+    return base.unionByName(forks)
+
+
+def q_repo_fork_pairs(spark, sf):
+    # The Stack-style fork detection at REPO granularity: md5-family
+    # MinHash over each repo's distinct file-digest set (16 perms, 8
+    # bands x 2 rows, pure whole-stage codegen — zero Python), banded
+    # candidates at first shared band, EXACT digest-set Jaccard +
+    # containment verify.  Hash-verified: the whole family (digests,
+    # perm mins, band folds, candidate emission, permille arithmetic)
+    # replays exactly in DuckDB (_dd_md5_60 twins).
+    from simhash_text_dedup_spark.operators.repo_dedup import (
+        RepoDedupConfig,
+        fork_pairs,
+        repo_file_digests,
+        repo_signatures,
+    )
+
+    cfg = RepoDedupConfig()
+    fd = repo_file_digests(_repo_docs(spark, sf)).localCheckpoint(eager=False)
+    return fork_pairs(fd, repo_signatures(fd, cfg), cfg)
+
+
+def q_repo_dedup_actions(spark, sf):
+    # keep-one-per-fork-cluster selection: connected components over
+    # the verified fork pairs (forks chain), winner = most files (tie:
+    # lexicographically smallest name), singleton repos keep themselves.
+    # Hash-verified vs a recursive-CTE closure + window twin.
+    from simhash_text_dedup_spark.operators.repo_dedup import (
+        RepoDedupConfig,
+        fork_pairs,
+        repo_dedup_actions,
+        repo_file_digests,
+        repo_signatures,
+    )
+
+    cfg = RepoDedupConfig()
+    fd = repo_file_digests(_repo_docs(spark, sf)).localCheckpoint(eager=False)
+    pairs = fork_pairs(fd, repo_signatures(fd, cfg), cfg)
+    return repo_dedup_actions(fd, pairs, cfg)
+
+
+def q_head_snapshot(spark, sf):
+    # head-commit snapshot selection: the input shape carries a commit
+    # axis; training corpora keep each file's LATEST commit only (The
+    # Stack keeps the default-branch head).  Planted history: every
+    # file has commit c001; doc_id % 7 == 3 files gain c002 (edited),
+    # doc_id % 14 == 3 also gain c003 — one algebraic max-struct
+    # aggregation, no corpus window.  Hash-verified (max/arg_max twin).
+    from simhash_text_dedup_spark.operators.repo_dedup import head_snapshot
+
+    d = _docs(spark, sf)
+    base = d.select(
+        F.concat(F.lit("r"), (F.col("doc_id") % 23).cast("string")).alias("repo"),
+        F.concat(F.lit("p"), F.col("doc_id").cast("string")).alias("path"),
+        F.lit("c001").alias("commit"),
+        F.col("text").alias("content"),
+    )
+    v2 = d.filter(F.col("doc_id") % 7 == 3).select(
+        F.concat(F.lit("r"), (F.col("doc_id") % 23).cast("string")).alias("repo"),
+        F.concat(F.lit("p"), F.col("doc_id").cast("string")).alias("path"),
+        F.lit("c002").alias("commit"),
+        F.concat(F.col("text"), F.lit(" v2")).alias("content"),
+    )
+    v3 = d.filter(F.col("doc_id") % 14 == 3).select(
+        F.concat(F.lit("r"), (F.col("doc_id") % 23).cast("string")).alias("repo"),
+        F.concat(F.lit("p"), F.col("doc_id").cast("string")).alias("path"),
+        F.lit("c003").alias("commit"),
+        F.concat(F.col("text"), F.lit(" v3")).alias("content"),
+    )
+    hist = base.unionByName(v2).unionByName(v3)
+    return head_snapshot(hist)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "scan_filter_project": q_scan_filter_project,
@@ -2167,6 +2259,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lm_quality_ref": q_lm_quality_ref,
         "leakage_safe_split": q_leakage_safe_split,
         "chunk_documents": q_chunk_documents,
+        "repo_fork_pairs": q_repo_fork_pairs,
+        "repo_dedup_actions": q_repo_dedup_actions,
+        "head_snapshot": q_head_snapshot,
     }
 
 
@@ -2674,6 +2769,76 @@ _DUPSPAN_CTE = """
   d AS (
     SELECT gram, count(DISTINCT doc_id) AS n_docs, min(doc_id) AS owner
     FROM g GROUP BY gram HAVING count(DISTINCT doc_id) >= 2
+  )
+"""
+
+
+def _dd_md5_60(expr: str) -> str:
+    """DuckDB twin of operators/repo_dedup._md5_60: 60-bit md5-prefix
+    bigint of a VARCHAR expression (hex-fold — DuckDB has no conv())."""
+    return (
+        "list_reduce(list_transform(range(1, 16),"
+        " i -> CAST(strpos('0123456789abcdef',"
+        f" substr(md5({expr}), i, 1)) - 1 AS BIGINT)),"
+        " (a, b) -> a * 16 + b)"
+    )
+
+
+# Shared CTE chain for the repo-fork family: the q_repo_* derivation
+# (base repos r<g>, fork repos f<g> for g < 6 holding 80% of files)
+# followed by an EXACT replay of the frozen md5 signature/band spec
+# (operators/repo_dedup.py module docstring) and the exact verify.
+_REPO_FORK_CTES = f"""
+  rdocs AS (
+    SELECT 'r' || CAST(doc_id % 23 AS VARCHAR) AS repo, text AS content
+    FROM documents
+    UNION ALL
+    SELECT 'f' || CAST(doc_id % 23 AS VARCHAR), text FROM documents
+    WHERE doc_id % 23 < 6 AND doc_id % 10 < 8
+  ),
+  rfd AS MATERIALIZED (
+    SELECT DISTINCT repo, {_dd_md5_60('content')} AS digest FROM rdocs
+  ),
+  rprof AS (SELECT repo, count(*)::BIGINT AS nf FROM rfd GROUP BY repo),
+  rpv AS (
+    SELECT repo, p.i,
+           min({_dd_md5_60("CAST(p.i AS VARCHAR) || ':' || CAST(digest AS VARCHAR)")}) AS v
+    FROM rfd, unnest(range(0, 16)) AS p(i)
+    GROUP BY repo, p.i
+  ),
+  rsig AS (SELECT repo, list(v ORDER BY i) AS s FROM rpv GROUP BY repo),
+  rbk AS MATERIALIZED (
+    SELECT repo, b.j,
+           {_dd_md5_60("'b' || CAST(b.j AS VARCHAR) || ':'"
+                       " || CAST(s[2 * b.j + 1] AS VARCHAR) || ':'"
+                       " || CAST(s[2 * b.j + 2] AS VARCHAR)")} AS bkey
+    FROM rsig, unnest(range(0, 8)) AS b(j)
+  ),
+  rcand AS (
+    SELECT DISTINCT x.repo AS a_repo, y.repo AS b_repo
+    FROM rbk x JOIN rbk y
+      ON x.j = y.j AND x.bkey = y.bkey AND x.repo < y.repo
+  ),
+  rinter AS (
+    SELECT c.a_repo, c.b_repo, count(*)::BIGINT AS n_common
+    FROM rcand c
+    JOIN rfd fa ON fa.repo = c.a_repo
+    JOIN rfd fb ON fb.repo = c.b_repo AND fb.digest = fa.digest
+    GROUP BY c.a_repo, c.b_repo
+  ),
+  rpairs AS (
+    SELECT a_repo, b_repo, pa.nf AS n_a, pb.nf AS n_b, n_common,
+           (1000 * n_common // (pa.nf + pb.nf - n_common))::BIGINT
+             AS jaccard_permille,
+           (1000 * n_common // least(pa.nf, pb.nf))::BIGINT
+             AS containment_permille
+    FROM rinter
+    JOIN rprof pa ON pa.repo = rinter.a_repo
+    JOIN rprof pb ON pb.repo = rinter.b_repo
+  ),
+  rverified AS (
+    SELECT * FROM rpairs
+    WHERE jaccard_permille >= 500 OR containment_permille >= 900
   )
 """
 
@@ -3838,6 +4003,68 @@ def oracle_sql() -> dict[str, str]:
         # embedding_topk_lsh_signbit, embedding_topk_ivf_axes,
         # embedding_near_pairs).
     }
+    out["repo_fork_pairs"] = f"""
+        WITH {_REPO_FORK_CTES}
+        SELECT a_repo, b_repo, n_a, n_b, n_common,
+               jaccard_permille, containment_permille
+        FROM rverified
+    """
+    out["repo_dedup_actions"] = f"""
+        WITH RECURSIVE {_REPO_FORK_CTES},
+        redges AS (
+          SELECT a_repo AS a, b_repo AS b FROM rverified
+          UNION ALL SELECT b_repo, a_repo FROM rverified
+        ),
+        rverts AS (SELECT DISTINCT a AS id FROM redges),
+        rreach(id, label) AS (
+          SELECT id, id FROM rverts
+          UNION
+          SELECT e.a, r.label FROM redges e JOIN rreach r ON e.b = r.id
+        ),
+        rclus AS (
+          SELECT id AS repo, min(label) AS cluster_repo
+          FROM rreach GROUP BY id
+        ),
+        rlab AS (
+          SELECT p.repo, COALESCE(c.cluster_repo, p.repo) AS cluster_repo,
+                 p.nf AS n_files
+          FROM rprof p LEFT JOIN rclus c ON c.repo = p.repo
+        ),
+        rrk AS (
+          SELECT repo, cluster_repo, n_files,
+                 row_number() OVER (PARTITION BY cluster_repo
+                                    ORDER BY n_files DESC, repo ASC) AS rk
+          FROM rlab
+        )
+        SELECT repo, cluster_repo, n_files,
+               CASE WHEN rk = 1 THEN 'keep' ELSE 'drop' END AS action
+        FROM rrk
+    """
+    out["head_snapshot"] = f"""
+        WITH hist AS (
+          SELECT 'r' || CAST(doc_id % 23 AS VARCHAR) AS repo,
+                 'p' || CAST(doc_id AS VARCHAR) AS path,
+                 'c001' AS cmt, text AS content
+          FROM documents
+          UNION ALL
+          SELECT 'r' || CAST(doc_id % 23 AS VARCHAR),
+                 'p' || CAST(doc_id AS VARCHAR), 'c002', text || ' v2'
+          FROM documents WHERE doc_id % 7 = 3
+          UNION ALL
+          SELECT 'r' || CAST(doc_id % 23 AS VARCHAR),
+                 'p' || CAST(doc_id AS VARCHAR), 'c003', text || ' v3'
+          FROM documents WHERE doc_id % 14 = 3
+        ),
+        h AS (
+          SELECT repo, path, max(cmt) AS commit,
+                 arg_max(content, cmt) AS content,
+                 count(*)::BIGINT AS n_commits
+          FROM hist GROUP BY repo, path
+        )
+        SELECT repo, path, commit, content, n_commits,
+               {_dd_md5_60('content')} AS digest
+        FROM h
+    """
     # identical semantics, different physical layout (pre-banded
     # bucketed corpus) — same truth
     out["incremental_pairs_banded"] = out["incremental_pairs"]
