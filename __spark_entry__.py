@@ -448,6 +448,138 @@ def q_code_filter(spark, sf):
     )
 
 
+# deterministic license headers planted by doc_id % 13 so every branch
+# of the detector fires (SPDX known / SPDX unknown / each phrase family
+# / no header). Index 12 is intentionally empty -> 'none'. Single source
+# of truth for BOTH the Spark plant and the DuckDB twin.
+_LICENSE_HEADERS: list[str] = [
+    "// SPDX-License-Identifier: MIT\n",
+    "/* SPDX-License-Identifier: GPL-3.0-only */\n",
+    "# SPDX-License-Identifier: Zlib\n",
+    "// Permission is hereby granted, free of charge, to any person "
+    "obtaining a copy\n",
+    "// Licensed under the Apache License, Version 2.0 (the License);\n",
+    "// Redistribution and use in source and binary forms are permitted "
+    "provided that these conditions are met. Neither the name of the "
+    "copyright holder may be used.\n",
+    "// Redistribution and use in source and binary forms are permitted.\n",
+    "// You can redistribute it under the GNU General Public License, "
+    "version 2.\n",
+    "// Distributed under the GNU Lesser General Public License 2.1.\n",
+    "/* Subject to the terms of the Mozilla Public License, v. 2.0. */\n",
+    "// Permission to use, copy, modify, and/or distribute this software "
+    "for any purpose is granted.\n",
+    "// This is free and unencumbered software released into the public "
+    "domain.\n",
+    "",
+]
+
+
+def _plant_license_headers(docs: DataFrame) -> DataFrame:
+    expr = F.col("text")
+    for k, h in enumerate(_LICENSE_HEADERS):
+        if h:
+            expr = F.when(
+                F.col("doc_id") % len(_LICENSE_HEADERS) == k,
+                F.concat(F.lit(h), F.col("text")),
+            ).otherwise(expr)
+    return docs.select("doc_id", "source", expr.alias("text"))
+
+
+def _license_planted_sql() -> str:
+    n = len(_LICENSE_HEADERS)
+    whens = " ".join(
+        f"WHEN doc_id % {n} = {k} THEN '{h}' || text"
+        for k, h in enumerate(_LICENSE_HEADERS)
+        if h
+    )
+    return f"CASE {whens} ELSE text END"
+
+
+def q_license_id(spark, sf):
+    # Stack/StarCoder-style license identification over the planted
+    # corpus: SPDX tag wins (unknown tag -> 'other'), else first
+    # matching phrase rule, else 'none'; permissive flag for the
+    # keep-set. Pure codegen built-ins; DuckDB twin generated from the
+    # same constants (functions/license_id.py).
+    from simhash_text_dedup_spark.functions.license_id import (
+        detect_license,
+        is_permissive,
+    )
+
+    d = _plant_license_headers(_docs(spark, sf))
+    lic = detect_license(F.col("text"))
+    return d.select(
+        "doc_id", lic.alias("license"), is_permissive(lic).alias("permissive")
+    )
+
+
+def q_license_rollup(spark, sf):
+    # repo-level license rollup (source = repo analog): modal license
+    # per source, ties to the alphabetically-first id — the argmax
+    # pattern a corpus data-card needs before a permissive-only cut
+    from pyspark.sql import Window
+
+    from simhash_text_dedup_spark.functions.license_id import detect_license
+
+    d = _plant_license_headers(_docs(spark, sf))
+    counts = (
+        d.select("source", detect_license(F.col("text")).alias("license"))
+        .groupBy("source", "license")
+        .agg(F.count(F.lit(1)).alias("n_files"))
+    )
+    w = Window.partitionBy("source").orderBy(
+        F.col("n_files").desc(), F.col("license").asc()
+    )
+    return (
+        counts.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select("source", F.col("license").alias("top_license"), "n_files")
+    )
+
+
+def _license_id_sql() -> str:
+    from simhash_text_dedup_spark.functions.license_id import (
+        detect_license_sql,
+        is_permissive_sql,
+    )
+
+    lic = detect_license_sql("text")
+    return f"""
+        WITH p AS (
+          SELECT doc_id, source, {_license_planted_sql()} AS text
+          FROM documents
+        )
+        SELECT doc_id, {lic} AS license,
+               {is_permissive_sql(lic)} AS permissive
+        FROM p
+    """
+
+
+def _license_rollup_sql() -> str:
+    from simhash_text_dedup_spark.functions.license_id import (
+        detect_license_sql,
+    )
+
+    return f"""
+        WITH p AS (
+          SELECT doc_id, source, {_license_planted_sql()} AS text
+          FROM documents
+        ), c AS (
+          SELECT source, {detect_license_sql("text")} AS license,
+                 count(*)::BIGINT AS n_files
+          FROM p GROUP BY 1, 2
+        ), r AS (
+          SELECT source, license, n_files,
+                 row_number() OVER (PARTITION BY source
+                   ORDER BY n_files DESC, license ASC) AS rn
+          FROM c
+        )
+        SELECT source, license AS top_license, n_files
+        FROM r WHERE rn = 1
+    """
+
+
 def q_temperature_sample(spark, sf):
     # data-mixing: alpha=0.5 temperature stratified sample over the
     # language groups — integer-exact quotas (floor-sqrt weights,
@@ -2206,6 +2338,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "top_ngrams": q_top_ngrams,
         "quality_filter": q_quality_filter,
         "code_filter": q_code_filter,
+        "license_id": q_license_id,
+        "license_rollup": q_license_rollup,
         "temperature_sample": q_temperature_sample,
         "dup_spans": q_dup_spans,
         "dup_span_strip": q_dup_span_strip,
@@ -3473,6 +3607,8 @@ def oracle_sql() -> dict[str, str]:
                    hex_permille, reasons, reasons = '' AS keep
             FROM r
         """,
+        "license_id": _license_id_sql(),
+        "license_rollup": _license_rollup_sql(),
         "temperature_sample": """
             WITH c AS (
               SELECT lang AS "group", count(*)::BIGINT AS n_docs
