@@ -9,7 +9,8 @@ alongside the near-dup pipeline).
         [--repetition] [--strip-boilerplate] [--max-line-occ N]
         [--decontaminate <benchmark parquet>] [--ngram-width N]
         [--sample-mod K] [--sample-rem R]
-        [--quality] [--strip-dup-spans] [--span-width N] [--span-min-docs N]
+        [--quality] [--code-filter] [--license] [--permissive-only]
+        [--strip-dup-spans] [--span-width N] [--span-min-docs N]
         [--temperature-sample N --group-col lang]
         [--semdedup <embeddings parquet>] [--semdedup-threshold X]
         [--pii-scrub] [--vocab-top K] [--vocab-width N]
@@ -23,6 +24,9 @@ Outputs (each a parquet dir under --output, only when requested):
     contaminated/    docs sharing an n-gram with the benchmark set
     sample/          deterministic MD5 hash sample (fp % K == R)
     quality/         composite rule-battery flags (doc_id, reasons, keep)
+    code_quality/    Stack/StarCoder code-file filter flags + keep
+    licenses/        per-file license id (SPDX/phrase) + permissive flag
+    licensed/        permissive-license-only corpus cut
     despanned/       cross-doc duplicate-span-stripped corpus
     mixed/           temperature-weighted stratified sample
     semdedup/        embedding-cluster semantic dedup actions
@@ -61,6 +65,14 @@ def main() -> None:
     p.add_argument("--sample-rem", type=int, default=0, metavar="R")
     p.add_argument("--quality", action="store_true",
                    help="composite Gopher-style quality rule battery")
+    p.add_argument("--code-filter", action="store_true",
+                   help="Stack/StarCoder code-file filter battery")
+    p.add_argument("--license", action="store_true",
+                   help="per-file SPDX/phrase license id + permissive "
+                        "flag")
+    p.add_argument("--permissive-only", action="store_true",
+                   help="also write the permissive-license corpus cut "
+                        "(implies --license)")
     p.add_argument("--strip-dup-spans", action="store_true",
                    help="remove cross-doc duplicated word spans "
                         "(owner copy survives)")
@@ -155,6 +167,30 @@ def main() -> None:
         quality_filter(docs, **kw).write.mode("overwrite").parquet(
             f"{args.output}/quality"
         )
+    if args.code_filter:
+        from simhash_text_dedup_spark.operators.code_quality import (
+            code_filter,
+        )
+
+        code_filter(docs, **kw).write.mode("overwrite").parquet(
+            f"{args.output}/code_quality"
+        )
+    if args.license or args.permissive_only:
+        from simhash_text_dedup_spark.functions.license_id import (
+            detect_license,
+            is_permissive,
+        )
+
+        labeled = docs.withColumn(
+            "license", detect_license(F.col(args.text_col))
+        ).withColumn("permissive", is_permissive(F.col("license")))
+        labeled.select(args.id_col, "license", "permissive").write.mode(
+            "overwrite"
+        ).parquet(f"{args.output}/licenses")
+        if args.permissive_only:
+            labeled.filter("permissive").drop(
+                "license", "permissive"
+            ).write.mode("overwrite").parquet(f"{args.output}/licensed")
     if args.strip_dup_spans:
         from simhash_text_dedup_spark.operators.dupspans import (
             strip_dup_spans,

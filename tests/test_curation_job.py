@@ -125,6 +125,66 @@ def test_run_curation_new_outputs(spark, tmp_path, monkeypatch):
     assert {sd[0], sd[100]} == {"keep", "delete"}
 
 
+def test_run_curation_code_and_license(spark, tmp_path, monkeypatch):
+    docs = spark.createDataFrame(
+        [
+            (1, "// SPDX-License-Identifier: MIT\ndef ok(): return 1\n"),
+            (
+                2,
+                "// Licensed under the Apache License, Version 2.0\n"
+                "fn main() {}\n",
+            ),
+            (
+                3,
+                "// under the terms of the GNU General Public License, "
+                "version 3\nint main() { return 0; }\n",
+            ),
+            (4, "plain file with no header at all\n"),
+            # hex blob: fails the code filter's hex_data rule
+            (5, "deadbeef" * 50),
+        ],
+        "doc_id long, text string",
+    )
+    inp, out = (str(tmp_path / d) for d in ("in", "out"))
+    docs.write.parquet(inp)
+
+    monkeypatch.setattr(
+        sys,
+        "argv",
+        [
+            "run_curation.py",
+            "--input", inp, "--output", out,
+            "--code-filter",
+            "--permissive-only",
+        ],
+    )
+    _load_job().main()
+
+    lic = {
+        r.doc_id: (r.license, r.permissive)
+        for r in spark.read.parquet(f"{out}/licenses").collect()
+    }
+    assert lic[1] == ("MIT", True)
+    assert lic[2] == ("Apache-2.0", True)
+    assert lic[3] == ("GPL-3.0-only", False)
+    assert lic[4] == ("none", False)
+
+    kept = {
+        r.doc_id for r in spark.read.parquet(f"{out}/licensed").collect()
+    }
+    assert kept == {1, 2}  # GPL and unlicensed files are cut
+    assert set(spark.read.parquet(f"{out}/licensed").columns) == {
+        "doc_id", "text"
+    }
+
+    cq = {
+        r.doc_id: r.keep
+        for r in spark.read.parquet(f"{out}/code_quality").collect()
+    }
+    assert cq[1] and cq[4]
+    assert not cq[5]  # pure hex blob trips hex_data
+
+
 def test_run_pipeline_quality_prefilter(spark, tmp_path, monkeypatch):
     """--quality-prefilter drops rule-failing docs before
     fingerprinting and writes the flag table."""
