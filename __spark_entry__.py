@@ -645,6 +645,57 @@ def q_token_count_bpe(spark, sf):
     )
 
 
+def q_bpe_pair_counts(spark, sf):
+    # tokenizer training, iteration-0 workhorse: corpus -> (word, cnt)
+    # table (the ONLY corpus-sized shuffle) -> weighted adjacent
+    # char-pair counts with the </w> end marker. Hash-verified; the
+    # full merge loop on top is bpe_merges (spec-pinned in test_bpe).
+    from simhash_text_dedup_spark.operators.bpe import (
+        initial_symbols,
+        pair_counts,
+        word_counts,
+    )
+
+    return pair_counts(initial_symbols(word_counts(_docs(spark, sf))))
+
+
+def q_bpe_merges(spark, sf):
+    # distributed BPE merge learning (Sennrich 2016): vocab-bounded
+    # iterative loop over the word table — 8 merges, one 1-row argmax
+    # collect per iteration. Non-SQL (iterative greedy application);
+    # pinned against the pure-python executable spec in test_bpe and
+    # via the hash-verified bpe_pair_counts sibling.
+    from simhash_text_dedup_spark.operators.bpe import learn_bpe
+
+    return learn_bpe(_docs(spark, sf), n_merges=8)
+
+
+def _bpe_pair_counts_sql() -> str:
+    from simhash_text_dedup_spark.operators.bpe import EOW, PRETOKEN_RE
+
+    return f"""
+        WITH toks AS (
+          SELECT unnest(regexp_extract_all(text, '{PRETOKEN_RE}'))
+                 AS word
+          FROM documents
+        ), wc AS (
+          SELECT word, count(*)::BIGINT AS cnt FROM toks GROUP BY word
+        ), pos AS (
+          SELECT word, cnt,
+                 unnest(range(1, length(word) + 1)) AS i
+          FROM wc
+        ), pairs AS (
+          SELECT substr(word, i::INT, 1) AS left_sym,
+                 CASE WHEN i = length(word) THEN '{EOW}'
+                      ELSE substr(word, i::INT + 1, 1) END AS right_sym,
+                 cnt
+          FROM pos
+        )
+        SELECT left_sym, right_sym, sum(cnt)::BIGINT AS pair_count
+        FROM pairs GROUP BY 1, 2
+    """
+
+
 def q_embedding_topk(spark, sf):
     # brute-force cosine top-k over the embedding column (ANN baseline);
     # query set = 5 lowest vec_ids, float64 math on both sides
@@ -2345,6 +2396,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dup_span_strip": q_dup_span_strip,
         "doc_fingerprint_md5": q_doc_fingerprint_md5,
         "token_count_bpe": q_token_count_bpe,
+        "bpe_pair_counts": q_bpe_pair_counts,
+        "bpe_merges": q_bpe_merges,
         "code_normalize": q_code_normalize,
         "stopword_ratio": q_stopword_ratio,
         "embedding_topk": q_embedding_topk,
@@ -3697,6 +3750,7 @@ def oracle_sql() -> dict[str, str]:
                      AS n_subtokens
             FROM documents
         """,
+        "bpe_pair_counts": _bpe_pair_counts_sql(),
         "stopword_ratio": f"""
             WITH t AS (
               SELECT doc_id,

@@ -1,0 +1,226 @@
+"""Distributed BPE merge learning (Sennrich et al. 2016, arXiv:1508.07909).
+
+The tokenizer-training step a training-data pipeline runs after
+curation: learn the byte-pair-encoding merge table from the corpus.
+`operators/vocab.py top_ngrams` is the counting pass; this is the
+iterative merge learner on top of it.
+
+Scale design (the part that matters at 100 TB):
+
+* ONE corpus-sized aggregation reduces the corpus to a ``(word, cnt)``
+  table — the only shuffle whose cost scales with corpus bytes.  The
+  merge loop then runs entirely on that word table, bounded by the
+  number of DISTINCT words (10^7-10^8 at web scale), independent of
+  corpus size — the same two-phase shape industrial trainers use
+  (HuggingFace tokenizers, SentencePiece both aggregate word counts
+  first).
+* Each iteration is: weighted adjacent-pair count (map-side-combinable
+  groupBy over exploded symbol pairs), a ONE-row argmax collect
+  (driver materialization is a single pair per iteration), and an
+  Arrow-batched merge application over the symbol arrays.  The symbol
+  table is eagerly localCheckpoint-ed per iteration so the plan stays
+  one-UDF-deep instead of growing by one pandas stage per merge.
+* Ties break (pair_count DESC, left_sym ASC, right_sym ASC) so the
+  merge sequence is total-ordered and engine/partition-portable.
+
+The merge-application walk is per-word Python inside the Arrow batch —
+vocabulary-bounded, not corpus-bounded, which is why it is acceptable
+here and nowhere else in the repo's hot paths.
+
+Verification: the iteration-0 pair counter is DuckDB-expressible and
+hash-verified (`bpe_pair_counts`); the loop itself is pinned against a
+pure-Python executable spec (`spec_bpe`, exact merge-sequence equality)
+— the production-twin methodology from ARCHITECTURE.md.
+"""
+
+from __future__ import annotations
+
+from collections import Counter
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+# GPT-2-family pre-tokenizer restricted to a dialect Java regex and RE2
+# agree on: letter runs / digit runs / single non-space punctuation
+# (the same pattern as __spark_entry__'s token_count_bpe twin).
+PRETOKEN_RE = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9 \t\n\x0b\f\r]"
+
+EOW = "</w>"
+
+MERGES_SCHEMA = (
+    "rank bigint, left_sym string, right_sym string, "
+    "merged string, pair_count bigint"
+)
+
+
+def word_counts(
+    docs: DataFrame, *, text_col: str = "text"
+) -> DataFrame:
+    """(word, cnt): corpus-wide occurrence counts of pre-tokens — the
+    single corpus-sized aggregation."""
+    return (
+        docs.select(
+            F.explode(
+                F.regexp_extract_all(
+                    F.col(text_col), F.lit(PRETOKEN_RE), F.lit(0)
+                )
+            ).alias("word")
+        )
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+def _init_syms_udf():
+    # built lazily: decorating at import time parses the DDL return
+    # type, which needs an active SparkSession
+    @F.pandas_udf("array<string>")
+    def init_syms(words: pd.Series) -> pd.Series:
+        return words.map(lambda w: list(w) + [EOW])
+
+    return init_syms
+
+
+def initial_symbols(words: DataFrame) -> DataFrame:
+    """(symbols, cnt): each word split into characters + the
+    end-of-word marker."""
+    return words.select(
+        _init_syms_udf()(F.col("word")).alias("symbols"), "cnt"
+    )
+
+
+def pair_counts(syms: DataFrame) -> DataFrame:
+    """(left_sym, right_sym, pair_count): weighted adjacent-symbol pair
+    counts over the word table — the per-iteration workhorse."""
+    n = F.size(F.col("symbols"))
+    pairs = syms.select(
+        F.explode(
+            F.zip_with(
+                F.slice(F.col("symbols"), F.lit(1), n - 1),
+                F.slice(F.col("symbols"), F.lit(2), n - 1),
+                lambda l, r: F.struct(
+                    l.alias("left_sym"), r.alias("right_sym")
+                ),
+            )
+        ).alias("p"),
+        "cnt",
+    )
+    return pairs.groupBy("p.left_sym", "p.right_sym").agg(
+        F.sum("cnt").alias("pair_count")
+    )
+
+
+def _merge_applier(left: str, right: str):
+    """Factory (NOT an inline closure in a transform — CLAUDE.md rule
+    10) for the greedy left-to-right merge walk over one Arrow batch."""
+    merged = left + right
+
+    @F.pandas_udf("array<string>")
+    def apply_merge(col: pd.Series) -> pd.Series:
+        def walk(syms):
+            out = []
+            i, n = 0, len(syms)
+            while i < n:
+                if i + 1 < n and syms[i] == left and syms[i + 1] == right:
+                    out.append(merged)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            return out
+
+        return col.map(walk)
+
+    return apply_merge
+
+
+def learn_bpe(
+    docs: DataFrame,
+    *,
+    n_merges: int = 50,
+    min_pair_count: int = 2,
+    text_col: str = "text",
+) -> DataFrame:
+    """(rank, left_sym, right_sym, merged, pair_count): the learned
+    merge table, rank = learning order.  Stops early when no pair
+    reaches ``min_pair_count``."""
+    spark = docs.sparkSession
+    syms = initial_symbols(word_counts(docs, text_col=text_col))
+    syms = syms.localCheckpoint(eager=True)
+    records: list[tuple] = []
+    for rank in range(n_merges):
+        top = (
+            pair_counts(syms)
+            .orderBy(
+                F.col("pair_count").desc(), "left_sym", "right_sym"
+            )
+            .limit(1)
+            .collect()
+        )
+        if not top or top[0]["pair_count"] < min_pair_count:
+            break
+        l, r, c = (
+            top[0]["left_sym"],
+            top[0]["right_sym"],
+            int(top[0]["pair_count"]),
+        )
+        records.append((rank, l, r, l + r, c))
+        syms = syms.select(
+            _merge_applier(l, r)(F.col("symbols")).alias("symbols"),
+            "cnt",
+        ).localCheckpoint(eager=True)
+    return spark.createDataFrame(records, MERGES_SCHEMA)
+
+
+# ---------------------------------------------------------------- spec
+
+
+def spec_bpe(
+    word_cnt: dict[str, int], n_merges: int, min_pair_count: int = 2
+) -> list[tuple[int, str, str, str, int]]:
+    """Pure-Python executable spec of learn_bpe (single-process golden
+    twin for tests): identical counting, tie-break, and greedy
+    left-to-right application semantics."""
+    vocab = {w: list(w) + [EOW] for w in word_cnt}
+    merges = []
+    for rank in range(n_merges):
+        counts: Counter = Counter()
+        for w, syms in vocab.items():
+            c = word_cnt[w]
+            for a, b in zip(syms, syms[1:]):
+                counts[(a, b)] += c
+        if not counts:
+            break
+        best = min(counts.items(), key=lambda kv: (-kv[1], kv[0]))
+        (l, r), c = best
+        if c < min_pair_count:
+            break
+        merges.append((rank, l, r, l + r, c))
+        for w, syms in vocab.items():
+            out, i, n = [], 0, len(syms)
+            while i < n:
+                if i + 1 < n and syms[i] == l and syms[i + 1] == r:
+                    out.append(l + r)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            vocab[w] = out
+    return merges
+
+
+def spec_segment(word: str, merges: list[tuple]) -> list[str]:
+    """Apply a learned merge table to one word (spec-side segmenter)."""
+    syms = list(word) + [EOW]
+    for _, l, r, m, _ in merges:
+        out, i, n = [], 0, len(syms)
+        while i < n:
+            if i + 1 < n and syms[i] == l and syms[i + 1] == r:
+                out.append(m)
+                i += 2
+            else:
+                out.append(syms[i])
+                i += 1
+        syms = out
+    return syms

@@ -1,0 +1,108 @@
+"""BPE merge learning (operators/bpe.py) vs its executable spec."""
+
+import re
+from collections import Counter
+
+from pyspark.sql import functions as F
+
+from simhash_text_dedup_spark.operators.bpe import (
+    EOW,
+    PRETOKEN_RE,
+    initial_symbols,
+    learn_bpe,
+    pair_counts,
+    spec_bpe,
+    spec_segment,
+    word_counts,
+)
+
+DOCS = [
+    (1, "low low low low low lower lower newest newest newest"),
+    (2, "newest newest newest widest widest widest new new"),
+    (3, "lowest! lowest? un_related tokens 123 456 low"),
+    (4, "héllo héllo héllo wörld wörld"),  # multi-byte chars
+]
+
+
+def _spec_word_counts():
+    cnt: Counter = Counter()
+    for _, text in DOCS:
+        cnt.update(re.findall(PRETOKEN_RE, text))
+    return dict(cnt)
+
+
+def _df(spark):
+    return spark.createDataFrame(DOCS, "doc_id long, text string")
+
+
+def test_word_counts_match_regex_spec(spark):
+    got = {
+        r.word: r.cnt for r in word_counts(_df(spark)).collect()
+    }
+    assert got == _spec_word_counts()
+
+
+def test_pair_counts_iteration0(spark):
+    wc = _spec_word_counts()
+    want: Counter = Counter()
+    for w, c in wc.items():
+        syms = list(w) + [EOW]
+        for a, b in zip(syms, syms[1:]):
+            want[(a, b)] += c
+    got = {
+        (r.left_sym, r.right_sym): r.pair_count
+        for r in pair_counts(
+            initial_symbols(word_counts(_df(spark)))
+        ).collect()
+    }
+    assert got == dict(want)
+
+
+def test_learn_bpe_matches_spec_exactly(spark):
+    merges = learn_bpe(_df(spark), n_merges=12)
+    got = [
+        (r.rank, r.left_sym, r.right_sym, r.merged, r.pair_count)
+        for r in merges.orderBy("rank").collect()
+    ]
+    want = spec_bpe(_spec_word_counts(), 12)
+    assert got == want
+    assert len(got) == 12  # corpus is rich enough to not stop early
+    # rank 0 must be the globally best first pair, e.g. ('w', 'e') or
+    # whatever the spec says — spot-check the invariant instead of the
+    # value: counts are non-increasing in rank only per-iteration, but
+    # every recorded count respects the floor
+    assert all(c >= 2 for *_, c in got)
+
+
+def test_learn_bpe_early_stop(spark):
+    df = spark.createDataFrame(
+        [(1, "ab cd ef")], "doc_id long, text string"
+    )
+    merges = learn_bpe(df, n_merges=10, min_pair_count=2)
+    got = [
+        (r.rank, r.left_sym, r.right_sym, r.merged, r.pair_count)
+        for r in merges.orderBy("rank").collect()
+    ]
+    assert got == spec_bpe({"ab": 1, "cd": 1, "ef": 1}, 10)
+    assert got == []  # nothing reaches the floor of 2
+
+
+def test_spec_segment_applies_learned_merges():
+    wc = _spec_word_counts()
+    merges = spec_bpe(wc, 12)
+    seg = spec_segment("lowest", merges)
+    # segmentation reassembles the word exactly
+    assert "".join(seg) == "lowest" + EOW
+    # the most frequent whole words end up with few symbols
+    assert len(spec_segment("low", merges)) <= 3
+
+
+def test_unicode_symbols_survive(spark):
+    merges = learn_bpe(_df(spark), n_merges=12)
+    syms = {
+        r.left_sym for r in merges.collect()
+    } | {r.right_sym for r in merges.collect()}
+    # the é/ö words appear 2-3x; at least the corpus round-trips
+    # without mangling multi-byte chars anywhere in the table
+    for s in syms:
+        assert isinstance(s, str) and len(s) >= 1
