@@ -14,6 +14,7 @@ alongside the near-dup pipeline).
         [--temperature-sample N --group-col lang]
         [--semdedup <embeddings parquet>] [--semdedup-threshold X]
         [--pii-scrub] [--vocab-top K] [--vocab-width N]
+        [--learn-bpe N_MERGES] [--bpe-token-counts]
         [--lm-quality] [--lm-width N] [--lm-add-k K]
         [--assign-splits 980,10,10] [--split-clusters <clusters parquet>]
         [--chunk-tokens N] [--chunk-overlap K]
@@ -32,6 +33,8 @@ Outputs (each a parquet dir under --output, only when requested):
     semdedup/        embedding-cluster semantic dedup actions
     scrubbed/        PII/secret-redacted corpus + per-class counts
     vocab/           corpus-wide top-k n-gram frequency table
+    bpe_merges/      learned BPE merge table (rank-ordered)
+    bpe_tokens/      per-doc token counts under the learned merges
     lm_quality/      CCNet-style n-gram LM score + head/middle/tail bucket
     splits/          leakage-safe cluster-keyed train/valid/test assignment
     chunks/          fixed-width token-window passages (sliding window)
@@ -92,6 +95,12 @@ def main() -> None:
     p.add_argument("--vocab-top", type=int, default=None, metavar="K",
                    help="write the corpus-wide top-K n-gram table")
     p.add_argument("--vocab-width", type=int, default=1)
+    p.add_argument("--learn-bpe", type=int, default=None,
+                   metavar="N_MERGES",
+                   help="learn a BPE merge table from the corpus")
+    p.add_argument("--bpe-token-counts", action="store_true",
+                   help="also write per-doc token counts under the "
+                        "learned merges (requires --learn-bpe)")
     p.add_argument("--lm-quality", action="store_true",
                    help="CCNet-style n-gram LM quality score + buckets")
     p.add_argument("--lm-width", type=int, default=2)
@@ -233,6 +242,23 @@ def main() -> None:
         top_ngrams(
             docs, width=args.vocab_width, k=args.vocab_top, **kw
         ).write.mode("overwrite").parquet(f"{args.output}/vocab")
+    if args.learn_bpe:
+        from simhash_text_dedup_spark.operators.bpe import (
+            bpe_tokenize,
+            learn_bpe,
+        )
+
+        merges = learn_bpe(
+            docs, n_merges=args.learn_bpe, text_col=args.text_col
+        )
+        merges.write.mode("overwrite").parquet(
+            f"{args.output}/bpe_merges"
+        )
+        if args.bpe_token_counts:
+            saved = spark.read.parquet(f"{args.output}/bpe_merges")
+            bpe_tokenize(docs, saved, **kw).write.mode(
+                "overwrite"
+            ).parquet(f"{args.output}/bpe_tokens")
     if args.lm_quality:
         from simhash_text_dedup_spark.operators.lm_score import lm_quality
 

@@ -173,6 +173,64 @@ def learn_bpe(
     return spark.createDataFrame(records, MERGES_SCHEMA)
 
 
+def bpe_tokenize(
+    docs: DataFrame,
+    merges: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """(doc_id, n_bpe_tokens): token count of each document under a
+    learned merge table — the REAL token count a sequence-packing or
+    data-mixing step should budget with (whitespace counts over-count
+    code 2-4x).
+
+    The merge table is collected to the driver (n_merges rows, tiny by
+    construction) and shipped in the UDF closure; segmentation is
+    memoized PER WORD inside each Arrow batch, so the per-doc cost is
+    a dict lookup for all but the first occurrence of a word — the
+    same word-level memoization HF's fast tokenizers use."""
+    rows = [
+        (r["left_sym"], r["right_sym"], r["merged"])
+        for r in merges.orderBy("rank").collect()
+    ]
+
+    @F.pandas_udf("bigint")
+    def count_tokens(texts: pd.Series) -> pd.Series:
+        pat = __import__("re").compile(PRETOKEN_RE)
+        memo: dict[str, int] = {}
+
+        def word_len(w: str) -> int:
+            n = memo.get(w)
+            if n is None:
+                syms = list(w) + [EOW]
+                for l, r, m in rows:
+                    out, i, k = [], 0, len(syms)
+                    while i < k:
+                        if (
+                            i + 1 < k
+                            and syms[i] == l
+                            and syms[i + 1] == r
+                        ):
+                            out.append(m)
+                            i += 2
+                        else:
+                            out.append(syms[i])
+                            i += 1
+                    syms = out
+                n = memo[w] = len(syms)
+            return n
+
+        return texts.map(
+            lambda t: sum(word_len(w) for w in pat.findall(t or ""))
+        )
+
+    return docs.select(
+        F.col(id_col).alias("doc_id"),
+        count_tokens(F.col(text_col)).alias("n_bpe_tokens"),
+    )
+
+
 # ---------------------------------------------------------------- spec
 
 

@@ -97,6 +97,34 @@ def test_spec_segment_applies_learned_merges():
     assert len(spec_segment("low", merges)) <= 3
 
 
+def test_bpe_tokenize_matches_spec(spark):
+    from simhash_text_dedup_spark.operators.bpe import bpe_tokenize
+
+    merges_df = learn_bpe(_df(spark), n_merges=12)
+    got = {
+        r.doc_id: r.n_bpe_tokens
+        for r in bpe_tokenize(_df(spark), merges_df).collect()
+    }
+    merges = spec_bpe(_spec_word_counts(), 12)
+    want = {
+        doc_id: sum(
+            len(spec_segment(w, merges))
+            for w in re.findall(PRETOKEN_RE, text)
+        )
+        for doc_id, text in DOCS
+    }
+    assert got == want
+    # merged corpus compresses below the raw char+eow count
+    raw = {
+        doc_id: sum(
+            len(w) + 1 for w in re.findall(PRETOKEN_RE, text)
+        )
+        for doc_id, text in DOCS
+    }
+    assert all(got[d] <= raw[d] for d in got)
+    assert got[1] < raw[1]  # the high-frequency words compress
+
+
 def test_unicode_symbols_survive(spark):
     merges = learn_bpe(_df(spark), n_merges=12)
     syms = {

@@ -156,6 +156,7 @@ def test_run_curation_code_and_license(spark, tmp_path, monkeypatch):
             "--input", inp, "--output", out,
             "--code-filter",
             "--permissive-only",
+            "--learn-bpe", "6", "--bpe-token-counts",
         ],
     )
     _load_job().main()
@@ -183,6 +184,19 @@ def test_run_curation_code_and_license(spark, tmp_path, monkeypatch):
     }
     assert cq[1] and cq[4]
     assert not cq[5]  # pure hex blob trips hex_data
+
+    merges = spark.read.parquet(f"{out}/bpe_merges").orderBy("rank")
+    mrows = merges.collect()
+    assert [r.rank for r in mrows] == list(range(len(mrows)))
+    assert 0 < len(mrows) <= 6
+    assert all(r.merged == r.left_sym + r.right_sym for r in mrows)
+    toks = {
+        r.doc_id: r.n_bpe_tokens
+        for r in spark.read.parquet(f"{out}/bpe_tokens").collect()
+    }
+    assert set(toks) == {1, 2, 3, 4, 5} and all(
+        v > 0 for v in toks.values()
+    )
 
 
 def test_run_pipeline_quality_prefilter(spark, tmp_path, monkeypatch):
