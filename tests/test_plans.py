@@ -269,6 +269,46 @@ def test_temperature_sample_broadcasts_quotas(spark):
     assert len(re.findall(r"hashpartitioning\(group#\d+L?, \d+\)", plan)) <= 2, plan
 
 
+def test_license_detect_is_single_stage_codegen(spark):
+    # license_id is one narrow projection over the scan: no Exchange,
+    # no Python UDF — pure whole-stage-codegen expressions
+    from simhash_text_dedup_spark.functions.license_id import (
+        detect_license,
+        is_permissive,
+    )
+
+    df = spark.read.parquet(f"{SF}/documents.parquet").select(
+        "doc_id",
+        detect_license(F.col("text")).alias("license"),
+        is_permissive(detect_license(F.col("text"))).alias("permissive"),
+    )
+    plan = _plan(df)
+    assert "Exchange" not in plan, plan
+    assert "Python" not in plan, plan  # no BatchEvalPython/ArrowEval
+    assert "* Project" in plan, plan  # codegen'd projection
+
+
+def test_bpe_pair_counts_partial_aggregation(spark):
+    # the per-iteration workhorse must map-side combine: two HashAggs
+    # (partial + final) around ONE Exchange on the pair key, and the
+    # wide text column must not survive past the word extraction
+    from simhash_text_dedup_spark.operators.bpe import (
+        initial_symbols,
+        pair_counts,
+        word_counts,
+    )
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    df = pair_counts(initial_symbols(word_counts(docs)))
+    plan = _plan(df)
+    import re as _re
+
+    # partial+final pairs: >= 4 distinct HashAggregate detail nodes
+    assert len(_re.findall(r"^\(\d+\) HashAggregate", plan, _re.M)) >= 4, plan
+    # exactly two shuffles: word groupBy + pair groupBy
+    assert len(_re.findall(r"^\(\d+\) Exchange", plan, _re.M)) == 2, plan
+
+
 def test_dup_gram_agg_spreads_hot_grams_two_phase(spark):
     """The gram-frequency aggregation must be two-phase: a first
     exchange on (gram, doc_id) dedups map-side, a second on gram folds
