@@ -1834,6 +1834,39 @@ def _signbit_keys_sql() -> str:
     return ", ".join(key_exprs)
 
 
+def q_semantic_decontaminate(spark, sf):
+    # semantic decontamination (embedding sibling of the exact n-gram
+    # check): benchmark = 5 lowest vec_ids, broadcast as a normalized
+    # numpy matrix in the Arrow UDF closure; ONE corpus-side
+    # batch-matmul pass, no shuffle/join (plan-asserted in
+    # test_decontaminate); integer n_matches keeps the oracle exact
+    from simhash_text_dedup_spark.operators.decontaminate import (
+        semantic_contaminated,
+    )
+
+    emb = _read(spark, sf, "embeddings")
+    bench = emb.orderBy("vec_id").limit(5)
+    return semantic_contaminated(emb, bench, threshold=0.35)
+
+
+_SEMANTIC_DECON_SQL = """
+    WITH e AS (
+      SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+    ), b AS (
+      SELECT v AS bv FROM e ORDER BY vec_id LIMIT 5
+    ), m AS (
+      SELECT e.vec_id,
+             count(*) FILTER (WHERE
+               list_dot_product(e.v, b.bv)
+                 / (sqrt(list_dot_product(e.v, e.v))
+                    * sqrt(list_dot_product(b.bv, b.bv)))
+               >= 0.35)::BIGINT AS n_matches
+      FROM e CROSS JOIN b GROUP BY e.vec_id
+    )
+    SELECT vec_id, n_matches, n_matches > 0 AS contaminated FROM m
+"""
+
+
 def q_embedding_near_pairs(spark, sf):
     # threshold near-dup PAIRS in embedding space (the dedup form, vs
     # the top-k form): production lsh_near_pairs — band-distinct
@@ -2433,6 +2466,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_topk_lsh": q_embedding_topk_lsh,
         "embedding_topk_lsh_signbit": q_embedding_topk_lsh_signbit,
         "embedding_near_pairs": q_embedding_near_pairs,
+        "semantic_decontaminate": q_semantic_decontaminate,
         "embedding_topk_ivf": q_embedding_topk_ivf,
         "embedding_topk_ivf_disk": q_embedding_topk_ivf_disk,
         "embedding_topk_ivf_axes": q_embedding_topk_ivf_axes,
@@ -3078,6 +3112,7 @@ def oracle_sql() -> dict[str, str]:
         "edit_distance_pairs": _edit_distance_sql(),
         "embedding_topk_lsh_signbit": _lsh_signbit_sql(),
         "embedding_near_pairs": _near_pairs_signbit_sql(),
+        "semantic_decontaminate": _SEMANTIC_DECON_SQL,
         "embedding_topk_ivf_axes": _ivf_axes_sql(),
         "embedding_topk_ivf_disk_axes": _ivf_axes_sql(),
         "semdedup": _semdedup_sql(),

@@ -19,6 +19,8 @@ text key.
 
 from __future__ import annotations
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -93,6 +95,56 @@ def contaminated_docs(
         .groupBy("doc_id")
         .agg(F.count(F.lit(1)).alias("n_hits"))
     )
+
+
+def semantic_contaminated(
+    corpus_emb: DataFrame,
+    bench_emb: DataFrame,
+    *,
+    threshold: float = 0.9,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+    max_bench_rows: int = 500_000,
+) -> DataFrame:
+    """(vec_id, n_matches, contaminated): corpus embeddings whose
+    cosine similarity against ANY benchmark embedding reaches
+    ``threshold`` — the semantic sibling of the exact-n-gram check
+    above (paraphrased eval items slip an exact-gram filter; they do
+    not slip an embedding match).
+
+    Plan shape at 100 TB: the benchmark set is SMALL by contract
+    (eval suites are 10^3-10^5 items) — it is collected once, L2-
+    normalized into a single numpy matrix, and shipped in the Arrow
+    UDF closure; the corpus side is ONE vectorized batch-matmul pass
+    with no shuffle and no join (plan-asserted).  n_matches is an
+    integer so the oracle check stays bit-for-bit; the float scores
+    never leave the kernel.  ``max_bench_rows`` guards the driver
+    collect — a benchmark bigger than that is not a benchmark."""
+    n_bench = bench_emb.count()
+    if n_bench > max_bench_rows:
+        raise ValueError(
+            f"benchmark side has {n_bench} rows > max_bench_rows="
+            f"{max_bench_rows}; semantic_contaminated broadcasts the "
+            "benchmark by design — use the LSH near-pair join for "
+            "corpus-vs-corpus scale"
+        )
+    rows = bench_emb.select(emb_col).collect()
+    B = np.array([r[0] for r in rows], dtype=np.float64)
+    norms = np.sqrt((B * B).sum(axis=1))
+    B = B / np.where(norms == 0.0, 1.0, norms)[:, None]
+    thr = float(threshold)
+
+    @F.pandas_udf("bigint")
+    def n_matches(col: pd.Series) -> pd.Series:
+        M = np.array(col.tolist(), dtype=np.float64)
+        mn = np.sqrt((M * M).sum(axis=1))
+        M = M / np.where(mn == 0.0, 1.0, mn)[:, None]
+        return pd.Series((M @ B.T >= thr).sum(axis=1).astype("int64"))
+
+    return corpus_emb.select(
+        F.col(id_col).alias("vec_id"),
+        n_matches(F.col(emb_col)).alias("n_matches"),
+    ).withColumn("contaminated", F.col("n_matches") > 0)
 
 
 def decontaminate(

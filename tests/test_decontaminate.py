@@ -80,3 +80,85 @@ def test_benchmark_needs_only_text_column(spark):
     )  # no id column at all
     got = contaminated_docs(corpus, bench, ngram_width=5).collect()
     assert [(r.doc_id, r.n_hits) for r in got] == [(1, 1)]
+
+
+def test_semantic_contaminated_values(spark):
+    from simhash_text_dedup_spark.operators.decontaminate import (
+        semantic_contaminated,
+    )
+
+    corpus = spark.createDataFrame(
+        [
+            (1, [1.0, 0.0, 0.0]),   # exact copy of bench vec
+            (2, [5.0, 0.0, 0.0]),   # scaled copy -> cosine 1
+            (3, [0.0, 1.0, 0.0]),   # orthogonal to b1, copy of b2
+            (4, [0.0, 0.0, 1.0]),   # orthogonal to both
+            (5, [1.0, 1.0, 0.0]),   # cos ~0.707 vs both bench vecs
+            (6, [0.0, 0.0, 0.0]),   # zero vector: matches nothing
+        ],
+        "vec_id long, embedding array<double>",
+    )
+    bench = spark.createDataFrame(
+        [(101, [2.0, 0.0, 0.0]), (102, [0.0, 3.0, 0.0])],
+        "vec_id long, embedding array<double>",
+    )
+    got = {
+        r.vec_id: (r.n_matches, r.contaminated)
+        for r in semantic_contaminated(
+            corpus, bench, threshold=0.9
+        ).collect()
+    }
+    assert got == {
+        1: (1, True),
+        2: (1, True),
+        3: (1, True),
+        4: (0, False),
+        5: (0, False),
+        6: (0, False),
+    }
+    # a looser threshold picks up the 45-degree vector against BOTH
+    loose = {
+        r.vec_id: r.n_matches
+        for r in semantic_contaminated(
+            corpus, bench, threshold=0.7
+        ).collect()
+    }
+    assert loose[5] == 2
+
+
+def test_semantic_contaminated_bench_cap(spark):
+    import pytest as _pytest
+
+    from simhash_text_dedup_spark.operators.decontaminate import (
+        semantic_contaminated,
+    )
+
+    emb = spark.createDataFrame(
+        [(i, [float(i), 1.0]) for i in range(10)],
+        "vec_id long, embedding array<double>",
+    )
+    with _pytest.raises(ValueError, match="max_bench_rows"):
+        semantic_contaminated(emb, emb, max_bench_rows=5)
+
+
+def test_semantic_contaminated_no_shuffle_single_arrow_stage(spark):
+    import io as _io
+    import re as _re
+    from contextlib import redirect_stdout as _rs
+
+    from simhash_text_dedup_spark.operators.decontaminate import (
+        semantic_contaminated,
+    )
+
+    emb = spark.createDataFrame(
+        [(i, [float(i), 1.0]) for i in range(20)],
+        "vec_id long, embedding array<double>",
+    )
+    bench = emb.limit(2)
+    df = semantic_contaminated(emb, bench, threshold=0.99)
+    buf = _io.StringIO()
+    with _rs(buf):
+        df.explain("formatted")
+    plan = buf.getvalue()
+    assert "Exchange" not in plan, plan
+    assert len(_re.findall(r"^\(\d+\) ArrowEvalPython", plan, _re.M)) == 1, plan
