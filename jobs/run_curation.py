@@ -13,6 +13,8 @@ alongside the near-dup pipeline).
         [--strip-dup-spans] [--span-width N] [--span-min-docs N]
         [--temperature-sample N --group-col lang]
         [--semdedup <embeddings parquet>] [--semdedup-threshold X]
+        [--semantic-decontaminate <bench embeddings parquet>]
+        [--semantic-threshold X] [--embeddings <corpus emb parquet>]
         [--pii-scrub] [--vocab-top K] [--vocab-width N]
         [--learn-bpe N_MERGES] [--bpe-token-counts]
         [--lm-quality] [--lm-width N] [--lm-add-k K]
@@ -23,6 +25,8 @@ Outputs (each a parquet dir under --output, only when requested):
     repetition/      per-doc Gopher-style repetition flags
     stripped/        boilerplate-line-removed corpus (doc_id, kept_text)
     contaminated/    docs sharing an n-gram with the benchmark set
+    semantic_contaminated/  corpus vectors cosine-matching a benchmark
+                     embedding (paraphrase-robust decontamination)
     sample/          deterministic MD5 hash sample (fp % K == R)
     quality/         composite rule-battery flags (doc_id, reasons, keep)
     code_quality/    Stack/StarCoder code-file filter flags + keep
@@ -90,6 +94,14 @@ def main() -> None:
                         "semantic dedup")
     p.add_argument("--semdedup-threshold", type=float, default=0.9)
     p.add_argument("--semdedup-lists", type=int, default=64)
+    p.add_argument("--semantic-decontaminate", default=None,
+                   metavar="BENCH_EMB_PARQUET",
+                   help="benchmark embeddings (vec_id, embedding) for "
+                        "semantic decontamination; needs --embeddings")
+    p.add_argument("--semantic-threshold", type=float, default=0.9)
+    p.add_argument("--embeddings", default=None,
+                   metavar="CORPUS_EMB_PARQUET",
+                   help="corpus embeddings table (vec_id, embedding)")
     p.add_argument("--pii-scrub", action="store_true",
                    help="redact email/IP/secret literals")
     p.add_argument("--vocab-top", type=int, default=None, metavar="K",
@@ -230,6 +242,23 @@ def main() -> None:
             threshold=args.semdedup_threshold,
             n_lists=args.semdedup_lists,
         ).write.mode("overwrite").parquet(f"{args.output}/semdedup")
+    if args.semantic_decontaminate:
+        from simhash_text_dedup_spark.operators.decontaminate import (
+            semantic_contaminated,
+        )
+
+        if not args.embeddings:
+            raise SystemExit(
+                "--semantic-decontaminate needs --embeddings "
+                "(the corpus embedding table)"
+            )
+        corpus_emb = spark.read.parquet(args.embeddings)
+        bench_emb = spark.read.parquet(args.semantic_decontaminate)
+        semantic_contaminated(
+            corpus_emb, bench_emb, threshold=args.semantic_threshold
+        ).write.mode("overwrite").parquet(
+            f"{args.output}/semantic_contaminated"
+        )
     if args.pii_scrub:
         from simhash_text_dedup_spark.operators.scrub import pii_scrub
 

@@ -101,6 +101,9 @@ def test_run_curation_new_outputs(spark, tmp_path, monkeypatch):
             "--temperature-sample", "3", "--group-col", "lang",
             "--semdedup", epath, "--semdedup-threshold", "0.9",
             "--semdedup-lists", "4",
+            "--embeddings", epath,
+            "--semantic-decontaminate", epath,
+            "--semantic-threshold", "0.99",
         ],
     )
     _load_job().main()
@@ -123,6 +126,13 @@ def test_run_curation_new_outputs(spark, tmp_path, monkeypatch):
     assert len(sd) == 7
     # identical direction pair (0, 100): exactly one survives
     assert {sd[0], sd[100]} == {"keep", "delete"}
+
+    # bench == corpus at threshold 0.99: every vector matches at least
+    # itself; the (0, 100) same-direction pair matches each other too
+    sc = {r.vec_id: r.n_matches for r in
+          spark.read.parquet(f"{out}/semantic_contaminated").collect()}
+    assert len(sc) == 7 and all(v >= 1 for v in sc.values())
+    assert sc[0] == 2 and sc[100] == 2
 
 
 def test_run_curation_code_and_license(spark, tmp_path, monkeypatch):
