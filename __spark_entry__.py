@@ -1834,6 +1834,39 @@ def _signbit_keys_sql() -> str:
     return ", ".join(key_exprs)
 
 
+def q_repo_context(spark, sf):
+    # StarCoder2-style repo-context training documents: each source's
+    # files concatenated in doc_id order with a file separator, capped
+    # at 8 files per repo BEFORE the aggregation (a monorepo ships 8
+    # rows into its group, not all of them)
+    from simhash_text_dedup_spark.operators.repo_dedup import (
+        repo_context_docs,
+    )
+
+    return repo_context_docs(
+        _docs(spark, sf), repo_col="source", max_files=8
+    )
+
+
+_REPO_CONTEXT_SQL = """
+    WITH f AS (
+      SELECT source AS repo, doc_id, text,
+             row_number() OVER (PARTITION BY source
+                                ORDER BY doc_id) AS rn,
+             count(*) OVER (PARTITION BY source) AS tot
+      FROM documents
+    )
+    SELECT repo, max(tot)::BIGINT AS n_files_total,
+           count(*)::BIGINT AS n_files,
+           string_agg(text, chr(10) || '<|file_sep|>' || chr(10)
+                      ORDER BY doc_id) AS context_text,
+           length(string_agg(text, chr(10) || '<|file_sep|>' || chr(10)
+                             ORDER BY doc_id))::BIGINT AS n_chars
+    FROM f WHERE rn <= 8
+    GROUP BY repo
+"""
+
+
 def q_semantic_decontaminate(spark, sf):
     # semantic decontamination (embedding sibling of the exact n-gram
     # check): benchmark = 5 lowest vec_ids, broadcast as a normalized
@@ -2467,6 +2500,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_topk_lsh_signbit": q_embedding_topk_lsh_signbit,
         "embedding_near_pairs": q_embedding_near_pairs,
         "semantic_decontaminate": q_semantic_decontaminate,
+        "repo_context": q_repo_context,
         "embedding_topk_ivf": q_embedding_topk_ivf,
         "embedding_topk_ivf_disk": q_embedding_topk_ivf_disk,
         "embedding_topk_ivf_axes": q_embedding_topk_ivf_axes,
@@ -3113,6 +3147,7 @@ def oracle_sql() -> dict[str, str]:
         "embedding_topk_lsh_signbit": _lsh_signbit_sql(),
         "embedding_near_pairs": _near_pairs_signbit_sql(),
         "semantic_decontaminate": _SEMANTIC_DECON_SQL,
+        "repo_context": _REPO_CONTEXT_SQL,
         "embedding_topk_ivf_axes": _ivf_axes_sql(),
         "embedding_topk_ivf_disk_axes": _ivf_axes_sql(),
         "semdedup": _semdedup_sql(),

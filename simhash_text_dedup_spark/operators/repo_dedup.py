@@ -365,3 +365,57 @@ def dedup_repos(
     # gigabytes; a repo-keyed shuffle semi-join is the scale-correct
     # shape (and AQE will still broadcast it when it is actually small)
     return docs.join(keep, "repo", "left_semi")
+
+
+def repo_context_docs(
+    docs: DataFrame,
+    *,
+    repo_col: str = "repo",
+    order_col: str = "doc_id",
+    text_col: str = "text",
+    sep: str = "\n<|file_sep|>\n",
+    max_files: int = 64,
+) -> DataFrame:
+    """(repo, n_files_total, n_files, context_text, n_chars):
+    repo-level training documents — each repository's files
+    concatenated in a deterministic order with a separator token
+    (the StarCoder2/DeepSeek-Coder "repo-context" layout: models see
+    whole projects, not shuffled lone files).
+
+    Scale shape: the per-repo cap is applied BEFORE the aggregation
+    (row_number window, filter, then collect) so a 10^6-file monorepo
+    ships max_files rows into its group, not the whole repo; the
+    window and the groupBy share the repo hash-partitioning, so the
+    operator costs one exchange.  Output rows are repo-sized by
+    construction (<= max_files * file size)."""
+    from pyspark.sql import Window
+
+    capped = (
+        docs.select(
+            F.col(repo_col).alias("repo"),
+            F.col(order_col).alias("__ord"),
+            F.col(text_col).alias("__txt"),
+        )
+        .withColumn("__rn", F.row_number().over(
+            Window.partitionBy("repo").orderBy("__ord")))
+        .withColumn("__tot", F.count(F.lit(1)).over(
+            Window.partitionBy("repo")))
+        .filter(F.col("__rn") <= max_files)
+    )
+    return (
+        capped.groupBy("repo")
+        .agg(
+            F.max("__tot").cast("bigint").alias("n_files_total"),
+            F.count(F.lit(1)).alias("n_files"),
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct("__ord", "__txt"))
+                    ),
+                    lambda s: s["__txt"],
+                ),
+                sep,
+            ).alias("context_text"),
+        )
+        .withColumn("n_chars", F.length("context_text").cast("bigint"))
+    )

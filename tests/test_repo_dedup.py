@@ -207,3 +207,35 @@ def test_signature_plan_single_exchange_no_python(spark, fork_docs):
     # digest distinct + repo agg: the signature itself adds ONE
     # exchange on repo above the distinct's (repo, digest) exchange
     assert plan.count("Exchange") <= 2
+
+
+def test_repo_context_docs(spark):
+    from simhash_text_dedup_spark.operators.repo_dedup import (
+        repo_context_docs,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (3, "r1", "third"),
+            (1, "r1", "first"),
+            (2, "r1", "second"),
+            (10, "r2", "solo"),
+        ],
+        "doc_id long, repo string, text string",
+    )
+    got = {
+        r.repo: r
+        for r in repo_context_docs(docs, sep="|").collect()
+    }
+    assert got["r1"].context_text == "first|second|third"
+    assert got["r1"].n_files == 3 and got["r1"].n_files_total == 3
+    assert got["r2"].context_text == "solo"
+    assert got["r1"].n_chars == len("first|second|third")
+
+    capped = {
+        r.repo: r
+        for r in repo_context_docs(docs, sep="|", max_files=2).collect()
+    }
+    # cap keeps the FIRST files by order_col and reports the true total
+    assert capped["r1"].context_text == "first|second"
+    assert capped["r1"].n_files == 2 and capped["r1"].n_files_total == 3
