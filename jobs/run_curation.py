@@ -138,6 +138,16 @@ def main() -> None:
                         "at overlap 0")
     args = p.parse_args()
 
+    # validate flag pairs BEFORE any Spark work: discovering a missing
+    # companion flag after hours of earlier stages is the worst time
+    if args.semantic_decontaminate and not args.embeddings:
+        raise SystemExit(
+            "--semantic-decontaminate needs --embeddings "
+            "(the corpus embedding table)"
+        )
+    if args.bpe_token_counts and not args.learn_bpe:
+        raise SystemExit("--bpe-token-counts needs --learn-bpe")
+
     from pyspark.sql import SparkSession
     from pyspark.sql import functions as F
 
@@ -247,11 +257,6 @@ def main() -> None:
             semantic_contaminated,
         )
 
-        if not args.embeddings:
-            raise SystemExit(
-                "--semantic-decontaminate needs --embeddings "
-                "(the corpus embedding table)"
-            )
         corpus_emb = spark.read.parquet(args.embeddings)
         bench_emb = spark.read.parquet(args.semantic_decontaminate)
         semantic_contaminated(

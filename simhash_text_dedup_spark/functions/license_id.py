@@ -49,7 +49,11 @@ PHRASE_RULES: list[tuple[str, list[str]]] = [
     ("LGPL-2.1-only", ["gnu lesser general public license"]),
     ("GPL-3.0-only", ["gnu general public license", "version 3"]),
     ("GPL-2.0-only", ["gnu general public license", "version 2"]),
-    ("MPL-2.0", ["mozilla public license", "2.0"]),
+    # require the canonical header phrase, not a bare "2.0" (which any
+    # "@version 1.2.0" in the header would satisfy); an MPL-2.0 file
+    # with a nonstandard header classifies 'none' — a false negative
+    # is safe, a wrong-permissive id is not
+    ("MPL-2.0", ["mozilla public license, v. 2.0"]),
     (
         "ISC",
         ["permission to use, copy, modify, and/or distribute this software"],
@@ -94,7 +98,9 @@ def is_permissive(license_col: Column) -> Column:
 def detect_license_sql(text_col: str = "text", head_chars: int = HEAD_CHARS) -> str:
     """Exact DuckDB twin of detect_license, from the same constants."""
     head = f"substr({text_col}, 1, {head_chars})"
-    spdx = f"regexp_extract({head}, 'SPDX-License-Identifier:\\s*([A-Za-z0-9.+-]+)', 1)"
+    # SPDX_RE contains no single quotes, so it embeds verbatim; using
+    # the constant keeps the twin generated from the SAME pattern
+    spdx = f"regexp_extract({head}, '{SPDX_RE}', 1)"
     known = ", ".join(f"'{lic}'" for lic in KNOWN_LICENSES)
     branches = []
     for lic, phrases in PHRASE_RULES:

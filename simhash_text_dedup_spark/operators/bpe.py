@@ -141,10 +141,22 @@ def learn_bpe(
     n_merges: int = 50,
     min_pair_count: int = 2,
     text_col: str = "text",
+    checkpoint_every: int = 4,
 ) -> DataFrame:
     """(rank, left_sym, right_sym, merged, pair_count): the learned
     merge table, rank = learning order.  Stops early when no pair
-    reaches ``min_pair_count``."""
+    reaches ``min_pair_count``.
+
+    Lineage/storage discipline: the symbol table is eagerly
+    localCheckpoint-ed every ``checkpoint_every`` iterations, so the
+    live plan never grows beyond that many pandas stages and at most
+    ONE superseded checkpoint copy exists at a time — the previous
+    copy's py4j reference is dropped and gc.collect() runs so Spark's
+    ContextCleaner unpersists its blocks promptly instead of whenever
+    Python GC happens to fire (a 10^4-merge run would otherwise pile
+    up thousands of vocabulary-sized block sets)."""
+    import gc
+
     spark = docs.sparkSession
     syms = initial_symbols(word_counts(docs, text_col=text_col))
     syms = syms.localCheckpoint(eager=True)
@@ -169,7 +181,10 @@ def learn_bpe(
         syms = syms.select(
             _merge_applier(l, r)(F.col("symbols")).alias("symbols"),
             "cnt",
-        ).localCheckpoint(eager=True)
+        )
+        if (rank + 1) % checkpoint_every == 0:
+            syms = syms.localCheckpoint(eager=True)
+            gc.collect()  # release the superseded checkpoint's blocks
     return spark.createDataFrame(records, MERGES_SCHEMA)
 
 

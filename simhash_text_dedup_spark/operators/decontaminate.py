@@ -119,27 +119,45 @@ def semantic_contaminated(
     with no shuffle and no join (plan-asserted).  n_matches is an
     integer so the oracle check stays bit-for-bit; the float scores
     never leave the kernel.  ``max_bench_rows`` guards the driver
-    collect — a benchmark bigger than that is not a benchmark."""
-    n_bench = bench_emb.count()
-    if n_bench > max_bench_rows:
+    collect — a benchmark bigger than that is not a benchmark.
+    NULL benchmark embeddings are dropped (malformed rows cannot match
+    anything); an EMPTY benchmark yields n_matches = 0 everywhere."""
+    # single bounded job: the cap is enforced by the limit itself, not
+    # a separate count() pass over the benchmark query
+    rows = (
+        bench_emb.select(emb_col)
+        .where(F.col(emb_col).isNotNull())
+        .limit(max_bench_rows + 1)
+        .collect()
+    )
+    if len(rows) > max_bench_rows:
         raise ValueError(
-            f"benchmark side has {n_bench} rows > max_bench_rows="
-            f"{max_bench_rows}; semantic_contaminated broadcasts the "
-            "benchmark by design — use the LSH near-pair join for "
-            "corpus-vs-corpus scale"
+            f"benchmark side exceeds max_bench_rows={max_bench_rows}; "
+            "semantic_contaminated broadcasts the benchmark by design "
+            "— use the LSH near-pair join for corpus-vs-corpus scale"
         )
-    rows = bench_emb.select(emb_col).collect()
+    if not rows:
+        return corpus_emb.select(
+            F.col(id_col).alias("vec_id"),
+            F.lit(0).cast("bigint").alias("n_matches"),
+            F.lit(False).alias("contaminated"),
+        )
     B = np.array([r[0] for r in rows], dtype=np.float64)
-    norms = np.sqrt((B * B).sum(axis=1))
-    B = B / np.where(norms == 0.0, 1.0, norms)[:, None]
+    bn = np.sqrt((B * B).sum(axis=1))
     thr = float(threshold)
 
     @F.pandas_udf("bigint")
     def n_matches(col: pd.Series) -> pd.Series:
         M = np.array(col.tolist(), dtype=np.float64)
         mn = np.sqrt((M * M).sum(axis=1))
-        M = M / np.where(mn == 0.0, 1.0, mn)[:, None]
-        return pd.Series((M @ B.T >= thr).sum(axis=1).astype("int64"))
+        # dot / (|m| * |b|), the same formulation as the SQL twin; a
+        # zero norm makes the denominator infinite -> cosine 0 -> no
+        # match, matching the twin's division-by-zero row falling out
+        # of its FILTER
+        denom = np.outer(mn, bn)
+        denom = np.where(denom == 0.0, np.inf, denom)
+        sims = (M @ B.T) / denom
+        return pd.Series((sims >= thr).sum(axis=1).astype("int64"))
 
     return corpus_emb.select(
         F.col(id_col).alias("vec_id"),

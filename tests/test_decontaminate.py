@@ -162,3 +162,34 @@ def test_semantic_contaminated_no_shuffle_single_arrow_stage(spark):
     plan = buf.getvalue()
     assert "Exchange" not in plan, plan
     assert len(_re.findall(r"^\(\d+\) ArrowEvalPython", plan, _re.M)) == 1, plan
+
+
+def test_semantic_oracle_threshold_margin():
+    """Boundary-margin canary: the semantic_decontaminate entry derives
+    an INTEGER n_matches from float cosine >= 0.35 comparisons computed
+    in different summation orders on the two engines.  That is only
+    bit-for-bit safe because no sf0.01 (corpus, bench) cosine sits near
+    the threshold — pin the margin so a testdata regeneration that
+    lands a point close to 0.35 fails HERE, not as an oracle flake."""
+    import duckdb
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW embeddings AS SELECT * FROM "
+        "read_parquet('/root/testdata/sf0.01/embeddings.parquet')"
+    )
+    (margin,) = con.execute(
+        """
+        WITH e AS (
+          SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+        ), b AS (SELECT v AS bv FROM e ORDER BY vec_id LIMIT 5)
+        SELECT min(abs(list_dot_product(e.v, b.bv)
+                 / (sqrt(list_dot_product(e.v, e.v))
+                    * sqrt(list_dot_product(b.bv, b.bv))) - 0.35))
+        FROM e CROSS JOIN b
+        """
+    ).fetchone()
+    assert margin > 1e-6, (
+        f"a cosine sits {margin} from the 0.35 threshold — cross-engine "
+        "float noise could flip n_matches; move the entry threshold"
+    )
