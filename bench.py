@@ -103,6 +103,29 @@ def main_default() -> None:
     import __spark_entry__ as entry_mod
 
     queries = entry_mod.queries()
+
+    # Headline warmup (CLAUDE.md rule 9 / _session_warmup rationale,
+    # applied to the SQL side): without it the first timed query —
+    # tpch_q1 — absorbs the fresh JVM's one-time costs (heap zeroing,
+    # C2 JIT of the parquet/codegen paths) and reads 3-4 s slower than
+    # the identical plan re-run.  Production drivers are long-lived, so
+    # steady state is the honest per-query number.  One unmeasured
+    # scan+agg pass over the two tables the headline queries read warms
+    # the reader, codegen, and shuffle machinery; all timed queries
+    # still build and execute their own plans from scratch.
+    from pyspark.sql import functions as F
+
+    for tbl in ("lineitem", "documents"):
+        p = os.path.join(sf_dir, f"{tbl}.parquet")
+        df = spark.read.parquet(p)
+        # aggregate a hash of every column: forces a real full-width
+        # read + codegen (a bare count() would prune every column and
+        # warm nothing); max, not sum — ANSI mode makes a 64-bit hash
+        # sum overflow
+        df.select(
+            F.max(F.xxhash64(*[F.col(c) for c in df.columns])).alias("h")
+        ).write.format("noop").mode("overwrite").save()
+
     headline = [
         "tpch_q1",
         "word_count",
