@@ -2171,6 +2171,118 @@ def _semdedup_sql() -> str:
     """
 
 
+def q_tiered_dedup(spark, sf):
+    # tiered exact -> near -> semantic dedup hash-verified end-to-end
+    # (plans/tiered.py): tier 1 collapses exact-duplicate fingerprints
+    # (one window exchange), tier 2 runs the PRODUCTION band join + CC
+    # over the exact winners only, tier 3 runs the PRODUCTION SemDeDup
+    # screen over the near survivors' embeddings — with the surrogate
+    # fingerprint family and the literal axis centroids, every stage is
+    # SQL-expressible, so the oracle replays the full cascade including
+    # per-tier attribution and winner election.
+    from simhash_text_dedup_spark.config import DedupConfig
+    from simhash_text_dedup_spark.plans.tiered import tiered_dedup
+
+    # testdata has no byte dups (same note as q_exact_dup_groups), so
+    # the exact tier gets planted fingerprint copies: one extra doc per
+    # base doc_id % 10 == 2 carrying the SAME fingerprint
+    fps = _surrogate_fps(spark, sf)
+    copies = fps.filter(
+        (F.col("doc_id") < 10000000) & (F.col("doc_id") % 10 == 2)
+    ).select((F.col("doc_id") + 30000000).alias("doc_id"), "fingerprint")
+    return tiered_dedup(
+        fps.unionByName(copies),
+        DedupConfig(),
+        embeddings=_read(spark, sf, "embeddings"),
+        semantic_threshold=0.3,
+        centroids=_axis_centroids(),
+    )
+
+
+def q_tiered_report(spark, sf):
+    # the data-card removal accounting over the tiered cascade —
+    # aggregates q_tiered_dedup's output directly so the cascade
+    # semantics live in exactly one place on each side
+    from simhash_text_dedup_spark.plans.tiered import tier_report
+
+    return tier_report(q_tiered_dedup(spark, sf))
+
+
+def _tiered_sql() -> str:
+    """DuckDB twin of the tiered cascade: exact winners by min-doc_id
+    window over the surrogate fingerprints, band join + recursive-CTE
+    CC over winners only (near losers' winner = the component's min
+    label), then the axis-centroid SemDeDup dominance screen restricted
+    to near survivors that have an embedding row."""
+    L = _IVF_AXES_LISTS
+    return f"""
+        WITH RECURSIVE {_SURROGATE_FPS_CTE},
+        fps2 AS (
+          SELECT * FROM fps
+          UNION ALL
+          SELECT doc_id + 30000000 AS doc_id, fp
+          FROM base WHERE doc_id % 10 = 2
+        ),
+        exact AS (
+          SELECT doc_id, fp,
+                 min(doc_id) OVER (PARTITION BY fp) AS winner_id
+          FROM fps2
+        ),
+        winners AS (
+          SELECT doc_id, fp FROM exact WHERE doc_id = winner_id
+        ),
+        {_band_verify_cte("winners")},
+        {_SURROGATE_CC_CTE},
+        near_losers AS (
+          SELECT doc_id, cluster_id AS winner_id
+          FROM clusters WHERE doc_id != cluster_id
+        ),
+        surv2 AS (
+          SELECT w.doc_id FROM winners w
+          WHERE w.doc_id NOT IN (SELECT doc_id FROM near_losers)
+        ),
+        e AS (
+          SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+          WHERE vec_id IN (SELECT doc_id FROM surv2)
+        ),
+        ca AS (
+          SELECT vec_id, v, unnest(range({L})) AS list_id,
+                 unnest(v[1:{L}]) AS sim
+          FROM e
+        ),
+        ra AS (
+          SELECT vec_id, v, list_id, sim,
+                 row_number() OVER (PARTITION BY vec_id
+                                    ORDER BY sim DESC, list_id) AS rn
+          FROM ca
+        ),
+        a AS (
+          SELECT vec_id, v,  list_id,
+                 sim / sqrt(list_dot_product(v, v)) AS csim
+          FROM ra WHERE rn = 1
+        ),
+        dom AS (
+          SELECT DISTINCT x.vec_id
+          FROM a x JOIN a y
+            ON x.list_id = y.list_id AND x.vec_id != y.vec_id
+          WHERE (y.csim < x.csim
+                 OR (y.csim = x.csim AND y.vec_id < x.vec_id))
+            AND list_dot_product(x.v, y.v)
+                / (sqrt(list_dot_product(x.v, x.v))
+                   * sqrt(list_dot_product(y.v, y.v))) >= 0.3
+        )
+        SELECT doc_id, 'delete' AS action, 'exact' AS tier, winner_id
+        FROM exact WHERE doc_id != winner_id
+        UNION ALL
+        SELECT doc_id, 'delete', 'near', winner_id FROM near_losers
+        UNION ALL
+        SELECT vec_id, 'delete', 'semantic', NULL::BIGINT FROM dom
+        UNION ALL
+        SELECT s.doc_id, 'keep', NULL, s.doc_id
+        FROM surv2 s WHERE s.doc_id NOT IN (SELECT vec_id FROM dom)
+    """
+
+
 def q_incremental_round(spark, sf):
     # the PRODUCTION incremental new-vs-old round (run_incremental:
     # pandas-UDF fingerprints, unload detection, spam window, new x
@@ -2506,6 +2618,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_topk_ivf_axes": q_embedding_topk_ivf_axes,
         "embedding_topk_ivf_disk_axes": q_embedding_topk_ivf_disk_axes,
         "semdedup": q_semdedup,
+        "tiered_dedup": q_tiered_dedup,
+        "tiered_report": q_tiered_report,
         "multimodal_features": q_multimodal_features,
         "media_near_dups": q_media_near_dups,
         "incremental_round": q_incremental_round,
@@ -2940,9 +3054,11 @@ def _bloom_prefilter_sql() -> str:
     """
 
 
-# DuckDB twin of _surrogate_fps + the band join / Hamming verify
-# (shared by band_join_pairs and cc_clusters)
-_SURROGATE_PAIRS_CTE = """
+# DuckDB twin of _surrogate_fps alone (the fingerprint table); the
+# tiered-dedup oracle bands the EXACT-tier winners rather than all fps,
+# so the fingerprint construction and the band join are separate
+# fragments
+_SURROGATE_FPS_CTE = """
   base AS (
     SELECT doc_id, ('0x' || substring(md5(text), 1, 15))::BIGINT AS fp
     FROM documents
@@ -2961,10 +3077,15 @@ _SURROGATE_PAIRS_CTE = """
   ),
   fps AS (
     SELECT * FROM base UNION ALL SELECT * FROM m1 UNION ALL SELECT * FROM m3
-  ),
+  )
+"""
+
+# the band join / Hamming verify over a (doc_id, fp) CTE named by `src`
+def _band_verify_cte(src: str) -> str:
+    return f"""
   banded AS (
     SELECT doc_id, fp, b.band, (fp >> (48 - 16 * b.band)) & 65535 AS band_key
-    FROM fps, (VALUES (0), (1), (2), (3)) AS b(band)
+    FROM {src}, (VALUES (0), (1), (2), (3)) AS b(band)
   ),
   verified AS (
     SELECT DISTINCT l.doc_id AS a_id, r.doc_id AS b_id,
@@ -2975,6 +3096,11 @@ _SURROGATE_PAIRS_CTE = """
       AND bit_count(xor(l.fp, r.fp)) BETWEEN 1 AND 3
   )
 """
+
+
+# DuckDB twin of _surrogate_fps + the band join / Hamming verify
+# (shared by band_join_pairs and cc_clusters)
+_SURROGATE_PAIRS_CTE = _SURROGATE_FPS_CTE + "," + _band_verify_cte("fps")
 
 
 # DuckDB twin of connected_components over the surrogate pair set
@@ -3151,6 +3277,13 @@ def oracle_sql() -> dict[str, str]:
         "embedding_topk_ivf_axes": _ivf_axes_sql(),
         "embedding_topk_ivf_disk_axes": _ivf_axes_sql(),
         "semdedup": _semdedup_sql(),
+        "tiered_dedup": _tiered_sql(),
+        "tiered_report": f"""
+            SELECT coalesce(tier, 'keep') AS tier,
+                   count(*) AS n_docs
+            FROM ({_tiered_sql()}) t
+            GROUP BY 1
+        """,
         "render_formats": f"""
             WITH {_SURROGATE_PAIRS_CTE}
             SELECT doc_id,

@@ -15,7 +15,8 @@ alongside the near-dup pipeline).
         [--semdedup <embeddings parquet>] [--semdedup-threshold X]
         [--semantic-decontaminate <bench embeddings parquet>]
         [--semantic-threshold X] [--embeddings <corpus emb parquet>]
-        [--pii-scrub] [--vocab-top K] [--vocab-width N]
+        [--tiered-dedup] (semantic tier joins in --embeddings when given)
+    [--pii-scrub] [--vocab-top K] [--vocab-width N]
         [--learn-bpe N_MERGES] [--bpe-token-counts]
         [--lm-quality] [--lm-width N] [--lm-add-k K]
         [--assign-splits 980,10,10] [--split-clusters <clusters parquet>]
@@ -35,6 +36,11 @@ Outputs (each a parquet dir under --output, only when requested):
     despanned/       cross-doc duplicate-span-stripped corpus
     mixed/           temperature-weighted stratified sample
     semdedup/        embedding-cluster semantic dedup actions
+    tiered_actions/  exact -> near -> semantic cascade actions with
+                     per-tier attribution (doc_id, action, tier,
+                     winner_id)
+    tiered_report/   per-tier removal accounting (tier, n_docs)
+    tiered_survivors/ corpus rows surviving every enabled tier
     scrubbed/        PII/secret-redacted corpus + per-class counts
     vocab/           corpus-wide top-k n-gram frequency table
     bpe_merges/      learned BPE merge table (rank-ordered)
@@ -102,6 +108,10 @@ def main() -> None:
     p.add_argument("--embeddings", default=None,
                    metavar="CORPUS_EMB_PARQUET",
                    help="corpus embeddings table (vec_id, embedding)")
+    p.add_argument("--tiered-dedup", action="store_true",
+                   help="exact -> near (SimHash) -> semantic cascade "
+                        "with per-tier attribution; the semantic tier "
+                        "runs only when --embeddings is given")
     p.add_argument("--pii-scrub", action="store_true",
                    help="redact email/IP/secret literals")
     p.add_argument("--vocab-top", type=int, default=None, metavar="K",
@@ -263,6 +273,51 @@ def main() -> None:
             corpus_emb, bench_emb, threshold=args.semantic_threshold
         ).write.mode("overwrite").parquet(
             f"{args.output}/semantic_contaminated"
+        )
+    if args.tiered_dedup:
+        from simhash_text_dedup_spark.config import DedupConfig
+        from simhash_text_dedup_spark.plans.pipeline import (
+            fingerprint_stage,
+            prepare_documents,
+        )
+        from simhash_text_dedup_spark.plans.tiered import (
+            tier_report,
+            tiered_dedup,
+        )
+
+        cfg = DedupConfig()
+        d = docs
+        if args.id_col != "doc_id":
+            d = d.withColumnRenamed(args.id_col, "doc_id")
+        if args.text_col not in ("text", "content"):
+            d = d.withColumnRenamed(args.text_col, "text")
+        fps = fingerprint_stage(prepare_documents(d), cfg).select(
+            "doc_id", "fingerprint"
+        )
+        emb = (
+            spark.read.parquet(args.embeddings) if args.embeddings else None
+        )
+        # three sinks read the cascade; cut lineage so the pandas-UDF
+        # fingerprint stage and the band join run once, not per sink
+        actions = tiered_dedup(
+            fps,
+            cfg,
+            embeddings=emb,
+            semantic_threshold=args.semdedup_threshold,
+            n_lists=args.semdedup_lists,
+        ).localCheckpoint(eager=False)
+        actions.write.mode("overwrite").parquet(
+            f"{args.output}/tiered_actions"
+        )
+        tier_report(actions).write.mode("overwrite").parquet(
+            f"{args.output}/tiered_report"
+        )
+        d.join(
+            actions.filter(F.col("action") == "keep").select("doc_id"),
+            "doc_id",
+            "left_semi",
+        ).write.mode("overwrite").parquet(
+            f"{args.output}/tiered_survivors"
         )
     if args.pii_scrub:
         from simhash_text_dedup_spark.operators.scrub import pii_scrub

@@ -297,3 +297,71 @@ def test_run_curation_lm_and_splits(spark, tmp_path, monkeypatch):
         if r.doc_id == 1
     )
     assert ch == [(0, 3), (2, 3), (3, 3)]
+
+
+def test_run_curation_tiered_dedup(spark, tmp_path, monkeypatch):
+    """--tiered-dedup: exact -> near -> semantic cascade through the
+    PRODUCTION fingerprint (120-token base doc: an identical copy lands
+    in the exact tier, a last-token variant fingerprints at Hamming 3
+    -> near tier; the embedding pair resolves in the semantic tier)."""
+    base = " ".join(f"token{i}" for i in range(120))
+    near = " ".join([f"token{i}" for i in range(119)] + ["tokenX"])
+    docs = spark.createDataFrame(
+        [
+            (1, base),
+            (2, base),                       # exact duplicate of 1
+            (3, near),                       # Hamming-3 near dup of 1
+            (4, "completely unrelated body of text one two three"),
+            (5, "another document that shares nothing with the rest"),
+            (6, "a third standalone unique document right here"),
+        ],
+        "doc_id long, text string",
+    )
+    # one k-means list (two near-identical vectors would otherwise
+    # train into two singleton clusters and never meet in the screen)
+    emb = spark.createDataFrame(
+        [
+            (4, [1.0, 0.0, 0.0, 0.0]),
+            (5, [0.9, 0.1, 0.0, 0.0]),       # cosine ~0.994 with 4
+        ],
+        "vec_id long, embedding array<double>",
+    )
+    inp, epath, out = (str(tmp_path / d) for d in ("in", "emb", "out"))
+    docs.write.parquet(inp)
+    emb.write.parquet(epath)
+
+    monkeypatch.setattr(
+        sys,
+        "argv",
+        [
+            "run_curation.py",
+            "--input", inp, "--output", out,
+            "--tiered-dedup", "--embeddings", epath,
+            "--semdedup-threshold", "0.9", "--semdedup-lists", "1",
+        ],
+    )
+    _load_job().main()
+
+    acts = {
+        r.doc_id: (r.action, r.tier, r.winner_id)
+        for r in spark.read.parquet(f"{out}/tiered_actions").collect()
+    }
+    assert len(acts) == 6
+    assert acts[1] == ("keep", None, 1)
+    assert acts[2] == ("delete", "exact", 1)
+    assert acts[3] == ("delete", "near", 1)
+    assert acts[6] == ("keep", None, 6)
+    # the embedding pair: exactly one of 4/5 is the semantic delete
+    sem = [d for d in (4, 5) if acts[d][0] == "delete"]
+    assert len(sem) == 1 and acts[sem[0]][1:] == ("semantic", None)
+
+    rep = {
+        r.tier: r.n_docs
+        for r in spark.read.parquet(f"{out}/tiered_report").collect()
+    }
+    assert rep == {"exact": 1, "near": 1, "semantic": 1, "keep": 3}
+
+    surv = spark.read.parquet(f"{out}/tiered_survivors")
+    assert set(surv.columns) == {"doc_id", "text"}
+    ids = {r.doc_id for r in surv.collect()}
+    assert ids == {1, 6} | {d for d in (4, 5) if acts[d][0] == "keep"}
