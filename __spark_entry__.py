@@ -2270,11 +2270,32 @@ def _tiered_sql() -> str:
             AND list_dot_product(x.v, y.v)
                 / (sqrt(list_dot_product(x.v, x.v))
                    * sqrt(list_dot_product(y.v, y.v))) >= 0.3
+        ),
+        exact_resolved AS (
+          -- an exact group's representative may itself lose the near
+          -- tier: resolve one hop to that component's winner
+          SELECT e.doc_id,
+                 coalesce(nl.winner_id, e.winner_id) AS winner_id
+          FROM exact e LEFT JOIN near_losers nl ON nl.doc_id = e.winner_id
+          WHERE e.doc_id != e.winner_id
+        ),
+        exact_final AS (
+          -- winners removed by the semantic screen null out
+          SELECT doc_id,
+                 CASE WHEN winner_id IN (SELECT vec_id FROM dom)
+                      THEN NULL ELSE winner_id END AS winner_id
+          FROM exact_resolved
+        ),
+        near_final AS (
+          SELECT doc_id,
+                 CASE WHEN winner_id IN (SELECT vec_id FROM dom)
+                      THEN NULL ELSE winner_id END AS winner_id
+          FROM near_losers
         )
         SELECT doc_id, 'delete' AS action, 'exact' AS tier, winner_id
-        FROM exact WHERE doc_id != winner_id
+        FROM exact_final
         UNION ALL
-        SELECT doc_id, 'delete', 'near', winner_id FROM near_losers
+        SELECT doc_id, 'delete', 'near', winner_id FROM near_final
         UNION ALL
         SELECT vec_id, 'delete', 'semantic', NULL::BIGINT FROM dom
         UNION ALL

@@ -16,7 +16,7 @@ alongside the near-dup pipeline).
         [--semantic-decontaminate <bench embeddings parquet>]
         [--semantic-threshold X] [--embeddings <corpus emb parquet>]
         [--tiered-dedup] (semantic tier joins in --embeddings when given)
-    [--pii-scrub] [--vocab-top K] [--vocab-width N]
+        [--pii-scrub] [--vocab-top K] [--vocab-width N]
         [--learn-bpe N_MERGES] [--bpe-token-counts]
         [--lm-quality] [--lm-width N] [--lm-add-k K]
         [--assign-splits 980,10,10] [--split-clusters <clusters parquet>]
@@ -287,9 +287,16 @@ def main() -> None:
 
         cfg = DedupConfig()
         d = docs
+        # drop pre-existing target columns before renaming: a rename
+        # onto an occupied name yields duplicate columns and downstream
+        # AMBIGUOUS_REFERENCE; the explicitly-named column supersedes
         if args.id_col != "doc_id":
+            if "doc_id" in d.columns:
+                d = d.drop("doc_id")
             d = d.withColumnRenamed(args.id_col, "doc_id")
         if args.text_col not in ("text", "content"):
+            if "text" in d.columns:
+                d = d.drop("text")
             d = d.withColumnRenamed(args.text_col, "text")
         fps = fingerprint_stage(prepare_documents(d), cfg).select(
             "doc_id", "fingerprint"

@@ -25,10 +25,10 @@ Outputs (each a parquet dir under --output, only when requested):
     deduped/       surviving documents (fork losers removed)
     contexts/      per-repo concatenated training documents
 
-Stage composition note: --dedup recomputes signatures/pairs/actions
-internally over the SAME config, so requesting --fork-pairs/--actions
-alongside it writes the intermediate evidence of the same decision the
-dedup applied.
+Stage composition note: --dedup shares the digest/pair/action
+computation with --fork-pairs/--actions (checkpointed once), so
+requesting them together writes the intermediate evidence of exactly
+the decision the dedup applied, at no extra pass over the corpus.
 """
 
 from __future__ import annotations
@@ -80,7 +80,6 @@ def main() -> None:
 
     from simhash_text_dedup_spark.operators.repo_dedup import (
         RepoDedupConfig,
-        dedup_repos,
         fork_pairs,
         head_snapshot,
         repo_context_docs,
@@ -99,6 +98,11 @@ def main() -> None:
     spark = SparkSession.builder.appName("repo-dedup").getOrCreate()
     docs = spark.read.parquet(args.input)
     if args.text_col != "content":
+        if "content" in docs.columns:
+            # withColumnRenamed would otherwise produce TWO 'content'
+            # columns and every downstream F.col('content') becomes
+            # AMBIGUOUS_REFERENCE; the explicit text col supersedes
+            docs = docs.drop("content")
         docs = docs.withColumnRenamed(args.text_col, "content")
 
     if args.head_snapshot:
@@ -106,28 +110,38 @@ def main() -> None:
             f"{args.output}/head"
         )
 
-    if args.fork_pairs or args.actions:
-        # shared upstream for both evidence outputs: digests feed the
-        # signatures AND the exact verify, so checkpoint them once
+    if args.fork_pairs or args.actions or args.dedup:
+        # shared upstream for every fork-decision output: digests feed
+        # the signatures AND the exact verify, so checkpoint them once
         fd = repo_file_digests(docs).localCheckpoint(eager=False)
         pairs = fork_pairs(fd, repo_signatures(fd, cfg), cfg)
-        if args.actions:
-            # both outputs consume `pairs`; persist so the band join
-            # runs once, not once per sink
+        if args.actions or args.dedup:
+            # multiple outputs consume `pairs`; persist so the band
+            # join runs once, not once per sink
             pairs = pairs.localCheckpoint(eager=False)
         if args.fork_pairs:
             pairs.write.mode("overwrite").parquet(
                 f"{args.output}/fork_pairs"
             )
-        if args.actions:
-            repo_dedup_actions(fd, pairs, cfg).write.mode(
-                "overwrite"
-            ).parquet(f"{args.output}/repo_actions")
-
-    if args.dedup:
-        dedup_repos(docs, cfg).write.mode("overwrite").parquet(
-            f"{args.output}/deduped"
-        )
+        if args.actions or args.dedup:
+            actions = repo_dedup_actions(fd, pairs, cfg)
+            if args.actions and args.dedup:
+                actions = actions.localCheckpoint(eager=False)
+            if args.actions:
+                actions.write.mode("overwrite").parquet(
+                    f"{args.output}/repo_actions"
+                )
+            if args.dedup:
+                # same keep-set join as operators/repo_dedup.dedup_repos
+                # but over the actions already computed above — the
+                # digest/signature/band-join stages run exactly once
+                # per job, not once per requested output.  NOT
+                # broadcast: the keep list is O(n_repos); AQE still
+                # broadcasts it when actually small.
+                keep = actions.filter("action = 'keep'").select("repo")
+                docs.join(keep, "repo", "left_semi").write.mode(
+                    "overwrite"
+                ).parquet(f"{args.output}/deduped")
 
     if args.repo_context:
         repo_context_docs(

@@ -28,12 +28,17 @@ Cost ordering at 100 TB (why the tiers are in this order):
      super-linear stage, so it runs last, on the smallest set.
 
 Winner convention: tiers 1-2 elect a deterministic representative
-(min doc_id of the exact group / of the connected component — the same
-convention as the CC min-label clustering, so winner_id IS the cluster
-id for near losers).  The semantic tier's dominance rule is pairwise
-(SemDeDup keeps the least-prototypical member of each duplicate group;
-there is no single group key), so semantic deletions carry a NULL
-winner_id.
+(min doc_id of the exact group / of the connected component — the
+min-doc_id convention is single-sourced from operators/spam.spam_tag,
+and winner_id IS the CC min-label cluster id for near losers).  The
+contract is that a NON-NULL winner_id always references a KEPT
+document: an exact loser whose group representative itself loses the
+near tier is resolved one hop to that component's winner, and any
+winner removed by the semantic screen is nulled out.  The semantic
+tier's dominance rule is pairwise (SemDeDup keeps the
+least-prototypical member of each duplicate group; there is no single
+group key), so semantic deletions — and deletes whose representative
+the semantic screen removed — carry a NULL winner_id.
 
 Reference anchor: the keep/delete action semantics mirror the
 reference's winner-selection stage (incload/DeDupReduce.java); the
@@ -43,7 +48,7 @@ tiering itself is the composition a training-data pipeline runs on top.
 from __future__ import annotations
 
 import numpy as np
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from simhash_text_dedup_spark.config import DedupConfig
@@ -68,8 +73,10 @@ def tiered_dedup(
 
     action in {'keep', 'delete'}; for deletes, tier names the stage
     that removed the document and winner_id the surviving
-    representative (NULL for semantic — see module docstring); keeps
-    have tier NULL and winner_id = doc_id.
+    representative — non-NULL winner_id ALWAYS references a keep row;
+    NULL means the semantic screen removed the document or its
+    representative (see module docstring).  Keeps have tier NULL and
+    winner_id = doc_id.
 
     `embeddings` (vec_id, embedding) enables the semantic tier over
     the near survivors that HAVE an embedding row (vec_id == doc_id);
@@ -85,18 +92,21 @@ def tiered_dedup(
     the (possibly pandas-UDF-built) fps input is not recomputed per
     output branch.
     """
+    from simhash_text_dedup_spark.operators.spam import spam_tag
+
     base = fps.select("doc_id", "fingerprint")
 
     # --- tier 1: exact -- one exchange on the fingerprint ------------
-    tagged = base.withColumn(
-        "winner_id",
-        F.min("doc_id").over(Window.partitionBy("fingerprint")),
-    ).localCheckpoint(eager=False)
-    exact_losers = tagged.filter(F.col("doc_id") != F.col("winner_id")).select(
-        "doc_id",
-        F.lit("delete").alias("action"),
-        F.lit(TIER_EXACT).alias("tier"),
-        "winner_id",
+    # winner election single-sourced from spam_tag (min doc_id per
+    # fingerprint, the reference's keep-first convention)
+    tagged = (
+        spam_tag(base)
+        .drop("fp_count")
+        .withColumnRenamed("fp_first", "winner_id")
+        .localCheckpoint(eager=False)
+    )
+    exact_del = tagged.filter(F.col("doc_id") != F.col("winner_id")).select(
+        "doc_id", "winner_id"
     )
     # at most one doc per distinct fingerprint from here on
     survivors = tagged.filter(F.col("doc_id") == F.col("winner_id")).select(
@@ -116,15 +126,25 @@ def tiered_dedup(
         .select("doc_id", F.col("cluster_id").alias("winner_id"))
         .localCheckpoint(eager=False)
     )
-    near_losers = near_del.select(
-        "doc_id",
-        F.lit("delete").alias("action"),
-        F.lit(TIER_NEAR).alias("tier"),
-        "winner_id",
-    )
     survivors = survivors.join(near_del.select("doc_id"), "doc_id", "left_anti")
 
+    # an exact group's representative may itself lose the near tier;
+    # resolve one hop to that component's winner so winner_id keeps
+    # pointing at a surviving row (CC winners never lose the near tier)
+    exact_del = exact_del.join(
+        near_del.select(
+            F.col("doc_id").alias("winner_id"),
+            F.col("winner_id").alias("_near_winner"),
+        ),
+        "winner_id",
+        "left",
+    ).select(
+        "doc_id",
+        F.coalesce("_near_winner", "winner_id").alias("winner_id"),
+    )
+
     # --- tier 3: semantic -- SemDeDup over survivor embeddings -------
+    sem_del = None
     if embeddings is not None:
         from simhash_text_dedup_spark.operators.semdedup import semdedup
 
@@ -144,15 +164,35 @@ def tiered_dedup(
             .select(F.col("vec_id").alias("doc_id"))
             .localCheckpoint(eager=False)
         )
-        sem_losers = sem_del.select(
+        survivors = survivors.join(sem_del, "doc_id", "left_anti")
+
+        # contract: a non-NULL winner_id references a KEPT row — null
+        # out winners the semantic screen removed (pairwise dominance
+        # elects no replacement)
+        sem_gone = sem_del.select(
+            F.col("doc_id").alias("winner_id"), F.lit(True).alias("_gone")
+        )
+
+        def _null_dead_winners(losers: DataFrame) -> DataFrame:
+            return losers.join(sem_gone, "winner_id", "left").select(
+                "doc_id",
+                F.when(F.col("_gone").isNotNull(), F.lit(None).cast("long"))
+                .otherwise(F.col("winner_id"))
+                .alias("winner_id"),
+            )
+
+        exact_del = _null_dead_winners(exact_del)
+        near_out = _null_dead_winners(near_del)
+    else:
+        near_out = near_del
+
+    def _losers(df: DataFrame, tier: str) -> DataFrame:
+        return df.select(
             "doc_id",
             F.lit("delete").alias("action"),
-            F.lit(TIER_SEMANTIC).alias("tier"),
-            F.lit(None).cast("long").alias("winner_id"),
+            F.lit(tier).alias("tier"),
+            "winner_id",
         )
-        survivors = survivors.join(sem_del, "doc_id", "left_anti")
-    else:
-        sem_losers = None
 
     keeps = survivors.select(
         "doc_id",
@@ -160,9 +200,20 @@ def tiered_dedup(
         F.lit(None).cast("string").alias("tier"),
         F.col("doc_id").alias("winner_id"),
     )
-    out = exact_losers.unionByName(near_losers).unionByName(keeps)
-    if sem_losers is not None:
-        out = out.unionByName(sem_losers)
+    out = (
+        _losers(exact_del, TIER_EXACT)
+        .unionByName(_losers(near_out, TIER_NEAR))
+        .unionByName(keeps)
+    )
+    if sem_del is not None:
+        out = out.unionByName(
+            sem_del.select(
+                "doc_id",
+                F.lit("delete").alias("action"),
+                F.lit(TIER_SEMANTIC).alias("tier"),
+                F.lit(None).cast("long").alias("winner_id"),
+            )
+        )
     return out
 
 

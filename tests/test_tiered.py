@@ -127,3 +127,42 @@ def test_semantic_sees_only_survivor_embeddings(spark, fps, embeddings):
     acts = _actions(out)
     assert acts[4] == ("delete", "near", 1)
     assert acts[5] == ("keep", None, 5)
+
+
+def test_winner_resolution_and_semantic_nullout(spark):
+    """Contract: a non-NULL winner_id always references a keep row.
+    (a) an exact loser whose group representative loses the near tier
+    resolves one hop to the component winner; (b) winners removed by
+    the semantic screen null out."""
+    fps = spark.createDataFrame(
+        [
+            # chain: 11/12 exact group (winner 11); 11 then loses the
+            # near tier to 10 -> 12's winner must resolve to 10
+            (10, _signed(A ^ 1)), (11, _signed(A)), (12, _signed(A)),
+            # null-out: 21 exact-loses to 20; 20 then loses the
+            # semantic tier (dominated by 22) -> 21's winner is NULL
+            (20, _signed(B)), (21, _signed(B)), (22, _signed(C)),
+        ],
+        "doc_id long, fingerprint long",
+    )
+    emb = spark.createDataFrame(
+        [
+            (20, [1.0, 0.0, 0.0, 0.0]),   # centroid itself: csim 1.0
+            (22, [0.9, 0.1, 0.0, 0.0]),   # lower csim -> keep-priority
+        ],
+        "vec_id long, embedding array<double>",
+    )
+    acts = _actions(
+        tiered_dedup(
+            fps, CFG, embeddings=emb,
+            semantic_threshold=0.9, centroids=CENTROIDS,
+        )
+    )
+    assert acts == {
+        10: ("keep", None, 10),
+        11: ("delete", "near", 10),
+        12: ("delete", "exact", 10),        # resolved through 11
+        20: ("delete", "semantic", None),
+        21: ("delete", "exact", None),      # winner 20 semantic-dead
+        22: ("keep", None, 22),
+    }
