@@ -1607,6 +1607,9 @@ def q_simhash_clusters(spark, sf):
 
 
 def q_doc_fingerprint_xxhash(spark, sf):
+    # hash-verified: Spark's xxhash64 is the public XXH64 spec with
+    # seed 42 over the UTF-8 bytes; the oracle (_xxhash64_fp_sql)
+    # replays it bit-for-bit in DuckDB HUGEINT mod-2^64 arithmetic.
     from simhash_text_dedup_spark.functions.text import doc_fingerprint
 
     return _docs(spark, sf).select("doc_id", doc_fingerprint(F.col("text")).alias("fp64"))
@@ -2699,6 +2702,149 @@ def _dd_sm64(x: str) -> str:
     z1 = _dd_mul64(f"xor({x1}, {x1} >> 30)", 13787848793156543929)
     z2 = _dd_mul64(f"xor({z1}, {z1} >> 27)", 10723151780598845931)
     return f"xor({z2}, {z2} >> 31)"
+
+
+# ----------------------------------------------------------------------
+# DuckDB twin of Spark's xxhash64: the standard XXH64 algorithm
+# (Collet's public spec; Spark's XxHash64 expression applies it to the
+# UTF-8 bytes of the string with seed 42 — verified bit-for-bit against
+# pyspark on ASCII/UTF-8/empty/0..120-byte inputs).  Same HUGEINT
+# mod-2^64 emulation as the SimHash twin; the 32-byte block loop folds
+# a 4-accumulator STRUCT through list_reduce, the 8-byte / 4-byte /
+# 1-byte tails are list_reduce folds over slices of the byte list.
+# Closes the last SQL-expressible no_oracle entry
+# (doc_fingerprint_xxhash).
+# ----------------------------------------------------------------------
+_XXP1 = 11400714785074694791
+_XXP2 = 14029467366897019727
+_XXP3 = 1609587929392839161
+_XXP4 = 9650029242287828579
+_XXP5 = 2870177450012600261
+_XX_SEED = 42  # Spark's fixed xxhash64 seed
+
+
+def _dd_rotl(x: str, r: int) -> str:
+    """SQL for rotl64(x, r): shifted-out high bits land in the low
+    bits; the two terms occupy disjoint bit ranges so + == |."""
+    return f"(((({x}) * {1 << r}) % {_P64}) + (({x}) >> {64 - r}))"
+
+
+def _dd_xxround(acc: str, inp: str) -> str:
+    """SQL for the XXH64 round: rotl31(acc + inp*P2) * P1, mod 2^64."""
+    s = f"((({acc}) + {_dd_mul64(inp, _XXP2)}) % {_P64})"
+    return _dd_mul64(_dd_rotl(s, 31), _XXP1)
+
+
+def _xxhash64_fp_sql(src: str = "documents", text_col: str = "text") -> str:
+    """Full SELECT computing xxhash64(text) (= doc_fingerprint) for
+    every `src` row as (doc_id, fp64), fp64 signed int64."""
+    nib = lambda k: f"(strpos('0123456789abcdef', substr(hx, {k}, 1)) - 1)"
+    byte_i = (
+        f"CAST({nib('2*i - 1')} AS HUGEINT) * 16 + CAST({nib('2*i')} AS HUGEINT)"
+    )
+    word_w = " + ".join(
+        f"B[8*w + {j + 1}] * {1 << (8 * j)}::HUGEINT" for j in range(8)
+    )
+    u32 = " + ".join(
+        f"B[nw*8 + {j + 1}] * {1 << (8 * j)}::HUGEINT" for j in range(4)
+    )
+    a_init = {
+        "a": (_XX_SEED + _XXP1 + _XXP2) % _P64,
+        "b": (_XX_SEED + _XXP2) % _P64,
+        "c": _XX_SEED,
+        "d": (_XX_SEED - _XXP1) % _P64,
+    }
+    small = (_XX_SEED + _XXP5) % _P64
+    se = lambda v, f: f"struct_extract({v}, '{f}')"
+    merged = (
+        f"({_dd_rotl(se('vacc', 'a'), 1)} + {_dd_rotl(se('vacc', 'b'), 7)}"
+        f" + {_dd_rotl(se('vacc', 'c'), 12)}"
+        f" + {_dd_rotl(se('vacc', 'd'), 18)}) % {_P64}"
+    )
+    h_merged = merged
+    for f in ("a", "b", "c", "d"):
+        rnd0 = _dd_xxround("0", se("vacc", f))
+        h_merged = (
+            f"(({_dd_mul64(f'xor(({h_merged}), {rnd0})', _XXP1)}"
+            f" + {_XXP4}) % {_P64})"
+        )
+    block_fold = ", ".join(
+        f"'{f}': {_dd_xxround(se('s', f), se('t', f))}" for f in a_init
+    )
+    tail8 = (
+        f"({_dd_mul64(_dd_rotl('xor(h, ' + _dd_xxround('0', 'w') + ')', 27), _XXP1)}"
+        f" + {_XXP4}) % {_P64}"
+    )
+    u32_mul = _dd_mul64(f"({u32})", _XXP1)
+    tail4 = (
+        f"({_dd_mul64(_dd_rotl(f'xor(h2, {u32_mul})', 23), _XXP2)}"
+        f" + {_XXP3}) % {_P64}"
+    )
+    tail1 = _dd_mul64(_dd_rotl(f"xor(h, {_dd_mul64('bb', _XXP5)})", 11), _XXP1)
+    return f"""
+        WITH xx0 AS (
+          SELECT doc_id, lower(hex(encode({text_col}))) AS hx FROM {src}
+        ),
+        xx1 AS (
+          SELECT doc_id, length(hx) // 2 AS n,
+                 list_transform(range(1, length(hx) // 2 + 1),
+                                i -> {byte_i}) AS B
+          FROM xx0
+        ),
+        xx2 AS (
+          SELECT doc_id, n, B,
+                 list_transform(range(0, n // 8), w -> {word_w}) AS W,
+                 n // 8 AS nw, n // 32 AS nb
+          FROM xx1
+        ),
+        xx3 AS (
+          SELECT doc_id, n, B, W, nw, nb,
+                 list_reduce(
+                   list_prepend(
+                     {{'a': {a_init['a']}::HUGEINT, 'b': {a_init['b']}::HUGEINT,
+                       'c': {a_init['c']}::HUGEINT, 'd': {a_init['d']}::HUGEINT}},
+                     list_transform(range(0, nb),
+                       k -> {{'a': W[4*k + 1], 'b': W[4*k + 2],
+                              'c': W[4*k + 3], 'd': W[4*k + 4]}})),
+                   (s, t) -> {{{block_fold}}}) AS vacc
+          FROM xx2
+        ),
+        xx4 AS (
+          SELECT doc_id, n, B, W, nw, nb,
+                 ((CASE WHEN nb = 0 THEN {small}::HUGEINT
+                        ELSE ({h_merged}) END) + n) % {_P64} AS h1
+          FROM xx3
+        ),
+        xx5 AS (
+          SELECT doc_id, n, B, nw,
+                 list_reduce(list_prepend(h1, list_slice(W, 4*nb + 1, nw)),
+                             (h, w) -> {tail8}) AS h2
+          FROM xx4
+        ),
+        xx6 AS (
+          SELECT doc_id, n, B,
+                 CASE WHEN n % 8 >= 4 THEN nw*8 + 4 ELSE nw*8 END AS o,
+                 CASE WHEN n % 8 >= 4 THEN {tail4} ELSE h2 END AS h3
+          FROM xx5
+        ),
+        xx7 AS (
+          SELECT doc_id,
+                 list_reduce(list_prepend(h3, list_slice(B, o + 1, n)),
+                             (h, bb) -> {tail1}) AS h4
+          FROM xx6
+        ),
+        xx8 AS (
+          SELECT doc_id, {_dd_mul64('xor(h4, h4 >> 33)', _XXP2)} AS h5 FROM xx7
+        ),
+        xx9 AS (
+          SELECT doc_id, {_dd_mul64('xor(h5, h5 >> 29)', _XXP3)} AS h6 FROM xx8
+        )
+        SELECT doc_id,
+               CASE WHEN xor(h6, h6 >> 32) >= {_P64 // 2}
+                    THEN xor(h6, h6 >> 32) - {_P64}::HUGEINT
+                    ELSE xor(h6, h6 >> 32) END::BIGINT AS fp64
+        FROM xx9
+    """
 
 
 # tokens = maximal runs of word bytes ([0-9A-Za-z_] | byte >= 0x80); in
@@ -4408,15 +4554,20 @@ def oracle_sql() -> dict[str, str]:
                      ' ') AS chunk_text
             FROM w
         """,
-        # doc_fingerprint_xxhash / embedding_topk_lsh / embedding_topk_ivf*
-        # / multimodal_features / media_near_dups: intentionally omitted —
-        # non-SQL-expressible (xxhash64, random-hyperplane sketches,
-        # driver k-means training, binary decode); driver records the
-        # rows-only check.  Each has a hash-verified sibling exercising
-        # the same production operator (doc_fingerprint_md5,
-        # embedding_topk_lsh_signbit, embedding_topk_ivf_axes,
-        # embedding_near_pairs).
+        # embedding_topk_lsh / embedding_topk_ivf* / multimodal_features
+        # / media_near_dups / bpe_merges: intentionally omitted —
+        # non-SQL-expressible (random-hyperplane sketches, driver
+        # k-means training, binary decode, iterative greedy merges);
+        # driver records the rows-only check.  Each has a hash-verified
+        # sibling exercising the same production operator
+        # (embedding_topk_lsh_signbit, embedding_topk_ivf_axes,
+        # embedding_near_pairs, bpe_pair_counts).
     }
+    # xxhash64 IS SQL-expressible: XXH64 is a public spec and DuckDB
+    # HUGEINT arithmetic emulates the mod-2^64 ops (same trick as the
+    # SimHash twin), so the JVM-side production fingerprint is
+    # bit-for-bit hash-verified rather than rows-only.
+    out["doc_fingerprint_xxhash"] = _xxhash64_fp_sql()
     out["repo_fork_pairs"] = f"""
         WITH {_REPO_FORK_CTES}
         SELECT a_repo, b_repo, n_a, n_b, n_common,
