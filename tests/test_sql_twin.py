@@ -39,6 +39,14 @@ EDGE_DOCS = [
     (12, "repeat repeat repeat repeat repeat"),
     (13, "a b c " * 40),
     (14, "x" * 500),
+    # XXH64 stride boundaries: exact 8-byte word, 31/32/33 around the
+    # block size, 36 = block + 4-byte tail, 44 = block + word + 4
+    (15, "w" * 8),
+    (16, "y" * 31),
+    (17, "z" * 32),
+    (18, "q" * 33),
+    (19, "m" * 36),
+    (20, "n" * 44),
 ]
 
 
@@ -60,6 +68,67 @@ def test_simhash_twin_edges(edge_con):
     for doc_id, text in EDGE_DOCS:
         # simhash_one returns the signed-int64 view per the frozen spec
         assert got[doc_id] == simhash_one(text, 3), (doc_id, text)
+
+
+# ---------------------------------------------------------------------
+# XXH64 twin (_xxhash64_fp_sql): independent pure-python XXH64 per the
+# public spec (Collet), seed 42 = Spark's xxhash64 over UTF-8 bytes.
+# The edge list crosses every stride boundary: empty, <8, exact word,
+# 31/32/33 around the block size, block+4-byte tail, multi-byte UTF-8.
+# ---------------------------------------------------------------------
+_XM = (1 << 64) - 1
+_XXP = (11400714785074694791, 14029467366897019727, 1609587929392839161,
+        9650029242287828579, 2870177450012600261)
+
+
+def _xrotl(x, r):
+    return ((x << r) | (x >> (64 - r))) & _XM
+
+
+def _xround(acc, inp):
+    return (_xrotl((acc + inp * _XXP[1]) & _XM, 31) * _XXP[0]) & _XM
+
+
+def _xxh64_ref(data: bytes, seed: int = 42) -> int:
+    p1, p2, p3, p4, p5 = _XXP
+    n, i = len(data), 0
+    if n >= 32:
+        v = [(seed + p1 + p2) & _XM, (seed + p2) & _XM, seed, (seed - p1) & _XM]
+        while i + 32 <= n:
+            for j in range(4):
+                v[j] = _xround(v[j], int.from_bytes(data[i:i + 8], "little"))
+                i += 8
+        h = (_xrotl(v[0], 1) + _xrotl(v[1], 7) + _xrotl(v[2], 12)
+             + _xrotl(v[3], 18)) & _XM
+        for vj in v:
+            h = ((h ^ _xround(0, vj)) * p1 + p4) & _XM
+    else:
+        h = (seed + p5) & _XM
+    h = (h + n) & _XM
+    while i + 8 <= n:
+        h ^= _xround(0, int.from_bytes(data[i:i + 8], "little"))
+        h = (_xrotl(h, 27) * p1 + p4) & _XM
+        i += 8
+    if i + 4 <= n:
+        h ^= (int.from_bytes(data[i:i + 4], "little") * p1) & _XM
+        h = (_xrotl(h, 23) * p2 + p3) & _XM
+        i += 4
+    while i < n:
+        h ^= (data[i] * p5) & _XM
+        h = (_xrotl(h, 11) * p1) & _XM
+        i += 1
+    h ^= h >> 33
+    h = (h * p2) & _XM
+    h ^= h >> 29
+    h = (h * p3) & _XM
+    h ^= h >> 32
+    return h - (1 << 64) if h >= (1 << 63) else h
+
+
+def test_xxhash64_twin_edges(edge_con):
+    got = dict(edge_con.execute(entry_mod._xxhash64_fp_sql()).fetchall())
+    for doc_id, text in EDGE_DOCS:
+        assert got[doc_id] == _xxh64_ref(text.encode("utf-8")), (doc_id, text)
 
 
 # ---------------------------------------------------------------------
