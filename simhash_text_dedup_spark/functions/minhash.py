@@ -76,6 +76,59 @@ def band_keys_from_sigs(
     return out.view(np.int64)
 
 
+def lsh_collision_prob(s: float, n_bands: int, n_rows: int) -> float:
+    """P(candidate) for a pair with true signature-Jaccard s under
+    (n_bands x n_rows) banding: 1 - (1 - s^r)^b — the classic LSH
+    S-curve (Leskovec/Rajaraman/Ullman, MMDS ch.3)."""
+    return 1.0 - (1.0 - s ** n_rows) ** n_bands
+
+
+def plan_minhash_bands(
+    threshold: float,
+    n_perms: int = 128,
+    fp_weight: float = 0.5,
+    fn_weight: float = 0.5,
+    _steps: int = 1000,
+) -> tuple[int, int]:
+    """Choose (n_bands, n_rows) for a target Jaccard `threshold`.
+
+    Standard numerical-integration tuning (the method datasketch's
+    MinHashLSH uses, public knowledge): over every factorization
+    b*r <= n_perms, integrate the S-curve's false-positive area below
+    the threshold and false-negative area above it, and take the
+    weighted minimum.  Deterministic; midpoint rule with fixed steps.
+
+    DedupConfig pins 32x4 (the reference-parity default); use this to
+    re-plan when running at a different `jaccard_threshold`:
+
+        b, r = plan_minhash_bands(cfg.jaccard_threshold, cfg.minhash_perms)
+        cfg = dataclasses.replace(cfg, minhash_bands=b, minhash_rows=r)
+    """
+    if not 0.0 < threshold < 1.0:
+        raise ValueError(f"threshold must be in (0, 1), got {threshold}")
+    best: tuple[float, int, int] | None = None
+    for n_rows in range(1, n_perms + 1):
+        n_bands = n_perms // n_rows
+        if n_bands < 1:
+            break
+        fp = 0.0
+        dx = threshold / _steps
+        for k in range(_steps):
+            fp += lsh_collision_prob((k + 0.5) * dx, n_bands, n_rows)
+        fp *= dx
+        fn = 0.0
+        dx = (1.0 - threshold) / _steps
+        for k in range(_steps):
+            s = threshold + (k + 0.5) * dx
+            fn += 1.0 - lsh_collision_prob(s, n_bands, n_rows)
+        fn *= dx
+        err = fp_weight * fp + fn_weight * fn
+        if best is None or err < best[0]:
+            best = (err, n_bands, n_rows)
+    assert best is not None
+    return best[1], best[2]
+
+
 def minhash_udf(n_perms: int = 128, n_bands: int = 32, width: int = 3):
     """pandas UDF: content -> struct(sig array<bigint>, bands array<bigint>)."""
     n_rows = n_perms // n_bands

@@ -149,3 +149,43 @@ def test_minhash_candidates_hot_bucket_salt_parity(spark):
     # the flood really pairs quadratically among itself
     flood = [(a, b) for a, b in plain if a >= 100 and b >= 100]
     assert len(flood) == 30 * 29 // 2
+
+
+# ---------------------------------------------------------------------
+# Band-plan tuning: the classic LSH S-curve solver (no Spark needed).
+# ---------------------------------------------------------------------
+def test_plan_minhash_bands_properties():
+    from simhash_text_dedup_spark.functions.minhash import (
+        lsh_collision_prob,
+        plan_minhash_bands,
+    )
+
+    prev_rows = 0
+    for t in (0.2, 0.3, 0.5, 0.7, 0.8, 0.9):
+        b, r = plan_minhash_bands(t, 128)
+        assert b >= 1 and r >= 1 and b * r <= 128
+        # stricter thresholds need longer rows (sharper S-curve knee)
+        assert r >= prev_rows
+        prev_rows = r
+        # the chosen plan discriminates around its threshold
+        lo = lsh_collision_prob(max(t - 0.15, 0.01), b, r)
+        hi = lsh_collision_prob(min(t + 0.15, 0.99), b, r)
+        assert hi > lo
+        assert 0.2 < lsh_collision_prob(t, b, r) < 0.9
+
+    # deterministic pins (midpoint integration is exact arithmetic)
+    assert plan_minhash_bands(0.5, 128) == (25, 5)
+    assert plan_minhash_bands(0.5, 16) == (5, 3)
+
+    # recall-weighted tuning at the default threshold recovers the
+    # config's pinned 32x4 — the right objective for a dedup pipeline
+    # whose candidates are exactly verified downstream
+    assert plan_minhash_bands(0.5, 128, fp_weight=0.1, fn_weight=0.9) == (32, 4)
+    # precision-weighting pushes the other way (longer rows)
+    bp, rp = plan_minhash_bands(0.5, 128, fp_weight=0.9, fn_weight=0.1)
+    assert rp > 4
+
+    with pytest.raises(ValueError):
+        plan_minhash_bands(0.0)
+    with pytest.raises(ValueError):
+        plan_minhash_bands(1.0)
