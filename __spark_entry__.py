@@ -945,6 +945,19 @@ def q_band_join_pairs(spark, sf):
     )
 
 
+def q_radius_sweep(spark, sf):
+    # Hamming-radius tuning table over the production band join
+    # (operators/evaluate.radius_sweep): per-radius pair volume,
+    # cumulative verification cost, integer-permille share.  Oracle
+    # replays the histogram + window arithmetic over the same
+    # surrogate pair set.
+    from simhash_text_dedup_spark.config import DedupConfig
+    from simhash_text_dedup_spark.operators.evaluate import radius_sweep
+    from simhash_text_dedup_spark.operators.pairs import near_pairs
+
+    return radius_sweep(near_pairs(_surrogate_fps(spark, sf), DedupConfig()))
+
+
 def q_cc_clusters(spark, sf):
     # J2/W2 hash-verified: min-label connected components over the
     # verified pair set — production operator (driver union-find /
@@ -2609,6 +2622,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rollup_revenue": q_rollup_revenue,
         "bucketed_join": q_bucketed_join,
         "band_join_pairs": q_band_join_pairs,
+        "radius_sweep": q_radius_sweep,
         "cc_clusters": q_cc_clusters,
         "cluster_agreement": q_cluster_agreement,
         "greedy_actions": q_greedy_actions,
@@ -3398,6 +3412,29 @@ def oracle_sql() -> dict[str, str]:
         "band_join_pairs": f"""
             WITH {_SURROGATE_PAIRS_CTE}
             SELECT a_id, b_id, hamming FROM verified
+        """,
+        "radius_sweep": f"""
+            WITH {_SURROGATE_PAIRS_CTE},
+            hist AS (
+              SELECT hamming AS radius, count(*)::BIGINT AS n_pairs
+              FROM verified WHERE hamming <= 3 GROUP BY hamming
+            ),
+            radii AS (SELECT unnest(range(0, 4))::BIGINT AS radius),
+            j AS (
+              SELECT r.radius, coalesce(h.n_pairs, 0)::BIGINT AS n_pairs
+              FROM radii r LEFT JOIN hist h ON r.radius = h.radius
+            ),
+            c AS (
+              SELECT radius, n_pairs,
+                     sum(n_pairs) OVER (ORDER BY radius)::BIGINT AS cum_pairs,
+                     sum(n_pairs) OVER ()::BIGINT AS tot
+              FROM j
+            )
+            SELECT radius, n_pairs, cum_pairs,
+                   CASE WHEN tot = 0 THEN 0
+                        ELSE (1000 * cum_pairs) // tot END::BIGINT
+                     AS share_permille
+            FROM c
         """,
         "cluster_size_histogram": f"""
             WITH RECURSIVE {_SURROGATE_PAIRS_CTE}, {_SURROGATE_CC_CTE},

@@ -94,3 +94,54 @@ def pair_counting_stats(pred: DataFrame, gold: DataFrame) -> DataFrame:
             ).alias("recall_permille"),
         )
     )
+
+
+def radius_sweep(pairs: DataFrame, max_radius: int = 3) -> DataFrame:
+    """Per-Hamming-radius candidate volume: the tuning table for the
+    verification budget.
+
+    The reference runs at a FIXED radius 3 (incload/DeDupMapper.java
+    band layout; 4 bands x 16 bits is pigeonhole-complete for <= 3).
+    A user re-tuning for a new corpus wants to know what each radius
+    unit costs and buys BEFORE committing a full run: this sweep takes
+    the verified pair set (near_pairs output, `hamming` column) and
+    reports, per radius 0..max_radius, the exact pair count, the
+    cumulative count a run at that radius would verify, and its
+    integer-permille share of the max-radius total.
+
+    Scale shape: one map-side-combined groupBy onto <= max_radius+1
+    keys; the windows run over that <= max_radius+1-row frame, never
+    over the corpus.  Ratios are integer-exact (CLAUDE.md rule 4).
+    """
+    spark = pairs.sparkSession
+    radii = spark.range(0, max_radius + 1).withColumnRenamed("id", "radius")
+    counts = (
+        pairs.filter(F.col("hamming") <= max_radius)
+        .groupBy(F.col("hamming").cast("bigint").alias("radius"))
+        .agg(F.count(F.lit(1)).alias("n_pairs"))
+    )
+    from pyspark.sql import Window
+
+    w_cum = Window.orderBy("radius").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    w_all = Window.partitionBy()
+    return (
+        radii.join(counts, "radius", "left")
+        .fillna(0, ["n_pairs"])
+        .select(
+            "radius",
+            "n_pairs",
+            F.sum("n_pairs").over(w_cum).alias("cum_pairs"),
+            F.sum("n_pairs").over(w_all).alias("tot"),
+        )
+        .select(
+            "radius",
+            "n_pairs",
+            "cum_pairs",
+            F.expr(
+                "CASE WHEN tot = 0 THEN 0"
+                " ELSE (1000 * cum_pairs) div tot END"
+            ).cast("bigint").alias("share_permille"),
+        )
+    )

@@ -53,3 +53,45 @@ def test_pair_counting_intersection_only(spark):
     assert r.gold_pairs == 1
     assert r.precision_permille == 1000
     assert r.recall_permille == 1000
+
+
+# ---------------------------------------------------------------------
+# radius_sweep: per-Hamming-radius verification-budget table
+# ---------------------------------------------------------------------
+def _pairs(spark, hammings):
+    return spark.createDataFrame(
+        [(i, 1000 + i, h) for i, h in enumerate(hammings)],
+        "a_id long, b_id long, hamming long",
+    )
+
+
+def test_radius_sweep_hand_computed(spark):
+    from simhash_text_dedup_spark.operators.evaluate import radius_sweep
+
+    # two exact pairs, one at radius 1, none at 2, three at 3; a
+    # radius-5 pair must be excluded from counts AND the total
+    rows = {r.radius: r for r in
+            radius_sweep(_pairs(spark, [0, 0, 1, 3, 3, 3, 5])).collect()}
+    assert sorted(rows) == [0, 1, 2, 3]
+    assert [rows[r].n_pairs for r in range(4)] == [2, 1, 0, 3]
+    assert [rows[r].cum_pairs for r in range(4)] == [2, 3, 3, 6]
+    assert [rows[r].share_permille for r in range(4)] == [333, 500, 500, 1000]
+
+
+def test_radius_sweep_empty(spark):
+    from simhash_text_dedup_spark.operators.evaluate import radius_sweep
+
+    rows = radius_sweep(_pairs(spark, [])).collect()
+    assert len(rows) == 4
+    assert all(r.n_pairs == 0 and r.cum_pairs == 0 and r.share_permille == 0
+               for r in rows)
+
+
+def test_radius_sweep_custom_radius(spark):
+    from simhash_text_dedup_spark.operators.evaluate import radius_sweep
+
+    rows = {r.radius: r for r in
+            radius_sweep(_pairs(spark, [0, 4, 5]), max_radius=5).collect()}
+    assert sorted(rows) == [0, 1, 2, 3, 4, 5]
+    assert rows[5].cum_pairs == 3
+    assert rows[0].share_permille == 333
