@@ -263,3 +263,26 @@ def test_minhash_twin_edges(edge_con):
     for k, (doc_id, text) in enumerate(EDGE_DOCS):
         assert got[doc_id][0] == sigs[k].tolist(), ("sig", doc_id, text)
         assert got[doc_id][1] == bands[k].tolist(), ("bands", doc_id, text)
+
+
+def test_xxhash64_twin_fuzz():
+    """Seeded fuzz across block counts and byte diversity: 200 random
+    strings (ascii + latin-1 + CJK mix, lengths 0..300) through the
+    DuckDB twin vs the independent python reference, one batch."""
+    import random
+
+    rng = random.Random(20260818)
+    pool = (
+        [chr(c) for c in range(32, 127)]
+        + ["é", "ü", "ß", "中", "文", "日", "本", "€", "\t", "\n"]
+    )
+    docs = [
+        (i, "".join(rng.choice(pool) for _ in range(rng.randrange(0, 301))))
+        for i in range(200)
+    ]
+    con = duckdb.connect()
+    con.execute("CREATE TABLE documents(doc_id BIGINT, text VARCHAR)")
+    con.executemany("INSERT INTO documents VALUES (?, ?)", docs)
+    got = dict(con.execute(entry_mod._xxhash64_fp_sql()).fetchall())
+    for doc_id, text in docs:
+        assert got[doc_id] == _xxh64_ref(text.encode("utf-8")), (doc_id, text)
