@@ -5,7 +5,7 @@
         jobs/run_pipeline.py --input <documents parquet/table> \
         --checkpoint <dir> --output <dir> [--spam-threshold N]
         [--selection cc|greedy] [--minhash] [--containment]
-        [--quality-prefilter] [--resume] [--lineage]
+        [--quality-prefilter] [--radius-sweep] [--resume] [--lineage]
 
 On a cluster, package the library with
     (cd <repo> && zip -r simhash_text_dedup_spark.zip simhash_text_dedup_spark)
@@ -34,6 +34,10 @@ def main() -> None:
                    help="drop documents failing the Gopher-style rule "
                         "battery BEFORE fingerprinting (flags written "
                         "to <output>/quality_flags)")
+    p.add_argument("--radius-sweep", action="store_true",
+                   help="write the per-Hamming-radius verification-"
+                        "budget table (<output>/radius_sweep) from the "
+                        "run's own pair set")
     p.add_argument("--resume", action="store_true")
     p.add_argument("--lineage", action="store_true")
     args = p.parse_args()
@@ -88,6 +92,16 @@ def main() -> None:
     res.clusters.write.mode("overwrite").parquet(f"{args.output}/clusters")
     res.pairs.write.mode("overwrite").parquet(f"{args.output}/pairs")
     res.spam_kills.write.mode("overwrite").parquet(f"{args.output}/spam_kills")
+    if args.radius_sweep:
+        from simhash_text_dedup_spark.operators.evaluate import radius_sweep
+
+        # read the pairs just written so the round DAG is not replayed;
+        # non-Hamming kinds (minhash/containment/substring) carry NULL
+        # hamming and fall out of the sweep's radius filter
+        sweep_src = spark.read.parquet(f"{args.output}/pairs")
+        radius_sweep(sweep_src).write.mode("overwrite").parquet(
+            f"{args.output}/radius_sweep"
+        )
     # per-run counters (A7 analog), filled for free by the writes above
     import json
 

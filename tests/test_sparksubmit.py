@@ -37,6 +37,7 @@ def test_spark_submit_py_files(spark, tmp_path):
             "--py-files", pkg_zip,
             os.path.join(REPO, "jobs", "run_pipeline.py"),
             "--input", inp, "--output", out, "--spam-threshold", "5",
+            "--radius-sweep",
         ],
         cwd=str(tmp_path),  # NOT the repo root: no implicit import path
         env=env,
@@ -45,7 +46,14 @@ def test_spark_submit_py_files(spark, tmp_path):
         timeout=300,
     )
     assert res.returncode == 0, res.stderr[-3000:]
-    for side in ("clusters", "pairs", "spam_kills"):
+    for side in ("clusters", "pairs", "spam_kills", "radius_sweep"):
         assert os.path.exists(os.path.join(out, side, "_SUCCESS")), side
     n = spark.read.parquet(f"{out}/clusters").count()
     assert n > 0
+    sweep = {r.radius: r for r in spark.read.parquet(f"{out}/radius_sweep").collect()}
+    assert sorted(sweep) == [0, 1, 2, 3]
+    n_hamming_pairs = (
+        spark.read.parquet(f"{out}/pairs").filter("hamming IS NOT NULL").count()
+    )
+    assert sweep[3].cum_pairs == n_hamming_pairs
+    assert sweep[3].share_permille in (0, 1000)
