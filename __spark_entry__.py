@@ -2579,10 +2579,78 @@ def q_head_snapshot(spark, sf):
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    """Dict order is load-bearing: the driver's CORRECTNESS gate
+    records only the FIRST 50 entries, so positions 1-50 carry the
+    production-path, hash-verified family (SimHash/MinHash clustering,
+    incremental rounds, tiered cascade, semdedup, ANN twins, snapshot
+    tables).  Entries past 50 were all driver-green in rounds 3-4
+    (see CORRECTNESS_r0{3,4}.json) and stay covered by the local
+    replica (tests/test_entry_oracle.py), which runs every entry.
+    The rows-only ANN variants (embedding_topk_lsh / _ivf / _ivf_disk)
+    were dropped from this registry in round 5 — each has a
+    hash-verified sibling (_signbit / _axes / _disk_axes) verifying
+    the identical plan; the plain variants remain callable
+    (q_embedding_topk_lsh et al.) and benched directly."""
     return {
-        "scan_filter_project": q_scan_filter_project,
+        # --- 1-50: driver CORRECTNESS window -------------------------
+        # production SimHash (frozen fingerprint_core spec, HUGEINT twin)
+        "simhash_fingerprints": q_simhash_fingerprints,
+        "simhash_clusters": q_simhash_clusters,
+        "simhash_clusters_greedy": q_simhash_clusters_greedy,
+        "incremental_round": q_incremental_round,
+        "doc_fingerprint_xxhash": q_doc_fingerprint_xxhash,
+        # md5-surrogate SimHash family (exact-parity goldens)
+        "band_join_pairs": q_band_join_pairs,
+        "cc_clusters": q_cc_clusters,
+        "greedy_actions": q_greedy_actions,
+        "radius_sweep": q_radius_sweep,
+        "cluster_agreement": q_cluster_agreement,
+        "cluster_size_histogram": q_cluster_size_histogram,
         "exact_dup_groups": q_exact_dup_groups,
         "spam_kill_list": q_spam_kill_list,
+        # incremental rounds + banded corpus + snapshot tables
+        "incremental_pairs": q_incremental_pairs,
+        "incremental_pairs_banded": q_incremental_pairs_banded,
+        "incremental_round_lists": q_incremental_round_lists,
+        "snapshot_merge": q_snapshot_merge,
+        "snapshot_diff": q_snapshot_diff,
+        # MinHash/LSH + substring verifiers
+        "minhash_pairs": q_minhash_pairs,
+        "minhash_band_pairs": q_minhash_band_pairs,
+        "incremental_minhash_pairs": q_incremental_minhash_pairs,
+        "containment_pairs": q_containment_pairs,
+        "substring_lcs": q_substring_lcs,
+        "substring_verified": q_substring_verified,
+        "edit_distance_pairs": q_edit_distance_pairs,
+        # embedding ANN (hash-verified variants) + semantic dedup
+        "embedding_topk_lsh_signbit": q_embedding_topk_lsh_signbit,
+        "embedding_topk_ivf_axes": q_embedding_topk_ivf_axes,
+        "embedding_topk_ivf_disk_axes": q_embedding_topk_ivf_disk_axes,
+        "embedding_near_pairs": q_embedding_near_pairs,
+        "semdedup": q_semdedup,
+        "semantic_decontaminate": q_semantic_decontaminate,
+        # tiered cascade + curation operators
+        "tiered_dedup": q_tiered_dedup,
+        "tiered_report": q_tiered_report,
+        "dup_spans": q_dup_spans,
+        "dup_span_strip": q_dup_span_strip,
+        "decontaminate": q_decontaminate,
+        "quality_filter": q_quality_filter,
+        "lm_quality": q_lm_quality,
+        "lm_quality_ref": q_lm_quality_ref,
+        "leakage_safe_split": q_leakage_safe_split,
+        "quality_classifier": q_quality_classifier,
+        "bloom_prefilter": q_bloom_prefilter,
+        # repo-level dedup (StarCoder2 layout)
+        "repo_fork_pairs": q_repo_fork_pairs,
+        "repo_dedup_actions": q_repo_dedup_actions,
+        "head_snapshot": q_head_snapshot,
+        "repo_context": q_repo_context,
+        "chunk_documents": q_chunk_documents,
+        "render_formats": q_render_formats,
+        "bucketed_join": q_bucketed_join,
+        "scan_filter_project": q_scan_filter_project,
+        # --- 51+: driver-green in r03/r04; local-oracle covered ------
         "top_k_by_score": q_top_k_by_score,
         "top_k_quota": q_top_k_quota,
         "top_k_per_group": q_top_k_per_group,
@@ -2598,17 +2666,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_stats": q_token_stats,
         "repetition_flags": q_repetition_flags,
         "boilerplate_strip": q_boilerplate_strip,
-        "decontaminate": q_decontaminate,
         "pack_sequences": q_pack_sequences,
         "pii_scrub": q_pii_scrub,
         "top_ngrams": q_top_ngrams,
-        "quality_filter": q_quality_filter,
         "code_filter": q_code_filter,
         "license_id": q_license_id,
         "license_rollup": q_license_rollup,
         "temperature_sample": q_temperature_sample,
-        "dup_spans": q_dup_spans,
-        "dup_span_strip": q_dup_span_strip,
         "doc_fingerprint_md5": q_doc_fingerprint_md5,
         "token_count_bpe": q_token_count_bpe,
         "bpe_pair_counts": q_bpe_pair_counts,
@@ -2620,55 +2684,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ngram_jaccard": q_ngram_jaccard,
         "sessionize": q_sessionize,
         "rollup_revenue": q_rollup_revenue,
-        "bucketed_join": q_bucketed_join,
-        "band_join_pairs": q_band_join_pairs,
-        "radius_sweep": q_radius_sweep,
-        "cc_clusters": q_cc_clusters,
-        "cluster_agreement": q_cluster_agreement,
-        "greedy_actions": q_greedy_actions,
-        "cluster_size_histogram": q_cluster_size_histogram,
-        "incremental_pairs": q_incremental_pairs,
-        "incremental_pairs_banded": q_incremental_pairs_banded,
-        "incremental_round_lists": q_incremental_round_lists,
-        "minhash_band_pairs": q_minhash_band_pairs,
-        "containment_pairs": q_containment_pairs,
-        "substring_lcs": q_substring_lcs,
-        "substring_verified": q_substring_verified,
-        "edit_distance_pairs": q_edit_distance_pairs,
-        "render_formats": q_render_formats,
-        "snapshot_merge": q_snapshot_merge,
-        "snapshot_diff": q_snapshot_diff,
-        "simhash_fingerprints": q_simhash_fingerprints,
-        "simhash_clusters": q_simhash_clusters,
-        "doc_fingerprint_xxhash": q_doc_fingerprint_xxhash,
-        "minhash_pairs": q_minhash_pairs,
-        "incremental_minhash_pairs": q_incremental_minhash_pairs,
-        "bloom_prefilter": q_bloom_prefilter,
-        "quality_classifier": q_quality_classifier,
         "corpus_report": q_corpus_report,
-        "embedding_topk_lsh": q_embedding_topk_lsh,
-        "embedding_topk_lsh_signbit": q_embedding_topk_lsh_signbit,
-        "embedding_near_pairs": q_embedding_near_pairs,
-        "semantic_decontaminate": q_semantic_decontaminate,
-        "repo_context": q_repo_context,
-        "embedding_topk_ivf": q_embedding_topk_ivf,
-        "embedding_topk_ivf_disk": q_embedding_topk_ivf_disk,
-        "embedding_topk_ivf_axes": q_embedding_topk_ivf_axes,
-        "embedding_topk_ivf_disk_axes": q_embedding_topk_ivf_disk_axes,
-        "semdedup": q_semdedup,
-        "tiered_dedup": q_tiered_dedup,
-        "tiered_report": q_tiered_report,
         "multimodal_features": q_multimodal_features,
         "media_near_dups": q_media_near_dups,
-        "incremental_round": q_incremental_round,
-        "simhash_clusters_greedy": q_simhash_clusters_greedy,
-        "lm_quality": q_lm_quality,
-        "lm_quality_ref": q_lm_quality_ref,
-        "leakage_safe_split": q_leakage_safe_split,
-        "chunk_documents": q_chunk_documents,
-        "repo_fork_pairs": q_repo_fork_pairs,
-        "repo_dedup_actions": q_repo_dedup_actions,
-        "head_snapshot": q_head_snapshot,
     }
 
 

@@ -103,6 +103,9 @@ def main_default() -> None:
     import __spark_entry__ as entry_mod
 
     queries = entry_mod.queries()
+    # benched but no longer in the driver registry (its hash-verified
+    # sign-bit sibling covers correctness; this is the perf headline)
+    queries["embedding_topk_lsh"] = entry_mod.q_embedding_topk_lsh
 
     # Headline warmup (CLAUDE.md rule 9 / _session_warmup rationale,
     # applied to the SQL side): without it the first timed query —

@@ -14,14 +14,23 @@ Scale design (the part that matters at 100 TB):
   corpus size — the same two-phase shape industrial trainers use
   (HuggingFace tokenizers, SentencePiece both aggregate word counts
   first).
-* Each iteration is: weighted adjacent-pair count (map-side-combinable
-  groupBy over exploded symbol pairs), a ONE-row argmax collect
-  (driver materialization is a single pair per iteration), and an
-  Arrow-batched merge application over the symbol arrays.  The symbol
-  table is eagerly localCheckpoint-ed per iteration so the plan stays
-  one-UDF-deep instead of growing by one pandas stage per merge.
-* Ties break (pair_count DESC, left_sym ASC, right_sym ASC) so the
-  merge sequence is total-ordered and engine/partition-portable.
+* The merge loop itself runs on the DRIVER whenever the word table
+  fits (it essentially always does: unique words are 10^7-10^8 even at
+  web scale, orders of magnitude below the corpus).  ``_driver_bpe``
+  is an incremental learner — pair counts are maintained under a lazy
+  max-heap and only the words containing the merged pair are touched
+  per iteration — the same two-phase collect-then-loop shape
+  HF-tokenizers/SentencePiece use, so a 30k-100k-merge production
+  vocabulary costs ONE Spark job (the word-count shuffle) plus an
+  in-process loop, not 2 scheduler round-trips per merge.
+* Above ``driver_max_words`` the distributed loop takes over: weighted
+  adjacent-pair count (map-side-combinable groupBy over exploded
+  symbol pairs), a ONE-row argmax collect, and an Arrow-batched merge
+  application over the symbol arrays, localCheckpoint-ed every few
+  iterations so the plan stays shallow.
+* Both paths break ties (pair_count DESC, left_sym ASC, right_sym ASC)
+  so the merge sequence is total-ordered and engine/partition-portable
+  — pinned equal to each other and to ``spec_bpe`` in tests.
 
 The merge-application walk is per-word Python inside the Arrow batch —
 vocabulary-bounded, not corpus-bounded, which is why it is acceptable
@@ -135,6 +144,94 @@ def _merge_applier(left: str, right: str):
     return apply_merge
 
 
+def _walk_merge(syms: list, left: str, right: str, merged: str) -> list:
+    """Greedy left-to-right application of one merge to one word."""
+    out, i, n = [], 0, len(syms)
+    while i < n:
+        if i + 1 < n and syms[i] == left and syms[i + 1] == right:
+            out.append(merged)
+            i += 2
+        else:
+            out.append(syms[i])
+            i += 1
+    return out
+
+
+def _driver_bpe(
+    word_cnt: dict, n_merges: int, min_pair_count: int = 2
+) -> list[tuple]:
+    """In-process incremental merge loop over a collected (word, cnt)
+    table — semantically identical to ``spec_bpe`` (same counts, same
+    tie-break, same greedy walk; pinned equal in tests) but O(affected
+    words) per merge instead of O(vocabulary):
+
+    * ``cur`` holds live pair counts; a lazy max-heap keyed
+      (-count, left, right) realises the (DESC, ASC, ASC) argmax —
+      stale entries (count changed since push) are discarded on pop.
+    * ``where`` maps pair -> word indices that have EVER contained it;
+      a word that since lost the pair contributes a zero delta and is
+      skipped, so staleness costs a scan, never correctness.
+    * Applying a merge re-diffs only the touched words' adjacent-pair
+      multisets; every changed count is re-pushed.
+    """
+    import heapq
+
+    syms_of: list[list] = []
+    cnt_of: list[int] = []
+    cur: Counter = Counter()
+    where: dict = {}
+    for w, c in word_cnt.items():
+        syms = list(w) + [EOW]
+        i = len(syms_of)
+        syms_of.append(syms)
+        cnt_of.append(int(c))
+        for p in zip(syms, syms[1:]):
+            cur[p] += c
+            where.setdefault(p, set()).add(i)
+    heap = [(-c, p[0], p[1]) for p, c in cur.items()]
+    heapq.heapify(heap)
+    merges: list[tuple] = []
+    for rank in range(n_merges):
+        best = None
+        while heap:
+            negc, l, r = heap[0]
+            if cur.get((l, r), 0) == -negc:
+                best = (l, r, -negc)
+                break
+            heapq.heappop(heap)  # stale
+        if best is None or best[2] < min_pair_count:
+            break
+        l, r, c = best
+        heapq.heappop(heap)
+        merged = l + r
+        merges.append((rank, l, r, merged, c))
+        for i in where.pop((l, r), ()):
+            syms = syms_of[i]
+            if not any(
+                a == l and b == r for a, b in zip(syms, syms[1:])
+            ):
+                continue  # stale index entry: pair since merged away
+            cw = cnt_of[i]
+            old = Counter(zip(syms, syms[1:]))
+            new_syms = _walk_merge(syms, l, r, merged)
+            new = Counter(zip(new_syms, new_syms[1:]))
+            syms_of[i] = new_syms
+            for p in old.keys() | new.keys():
+                d = new.get(p, 0) - old.get(p, 0)
+                if d == 0:
+                    continue
+                nc = cur.get(p, 0) + d * cw
+                if nc <= 0:
+                    cur.pop(p, None)
+                    continue
+                cur[p] = nc
+                if d > 0:
+                    where.setdefault(p, set()).add(i)
+                heapq.heappush(heap, (-nc, p[0], p[1]))
+        cur.pop((l, r), None)
+    return merges
+
+
 def learn_bpe(
     docs: DataFrame,
     *,
@@ -142,23 +239,45 @@ def learn_bpe(
     min_pair_count: int = 2,
     text_col: str = "text",
     checkpoint_every: int = 4,
+    driver_max_words: int = 2_000_000,
 ) -> DataFrame:
     """(rank, left_sym, right_sym, merged, pair_count): the learned
     merge table, rank = learning order.  Stops early when no pair
     reaches ``min_pair_count``.
 
-    Lineage/storage discipline: the symbol table is eagerly
-    localCheckpoint-ed every ``checkpoint_every`` iterations, so the
-    live plan never grows beyond that many pandas stages and at most
-    ONE superseded checkpoint copy exists at a time — the previous
-    copy's py4j reference is dropped and gc.collect() runs so Spark's
-    ContextCleaner unpersists its blocks promptly instead of whenever
-    Python GC happens to fire (a 10^4-merge run would otherwise pile
-    up thousands of vocabulary-sized block sets)."""
+    Path selection: after the single corpus-sized word-count shuffle,
+    if the distinct-word table has at most ``driver_max_words`` rows
+    it is collected once (Arrow) and the merge loop runs in-process
+    (``_driver_bpe``) — one Spark job total regardless of n_merges.
+    Pass ``driver_max_words=0`` to force the distributed loop (used by
+    the parity tests; otherwise only an oversized vocabulary routes
+    there).
+
+    Distributed-path lineage/storage discipline: the symbol table is
+    eagerly localCheckpoint-ed every ``checkpoint_every`` iterations,
+    so the live plan never grows beyond that many pandas stages and at
+    most ONE superseded checkpoint copy exists at a time — the
+    previous copy's py4j reference is dropped and gc.collect() runs so
+    Spark's ContextCleaner unpersists its blocks promptly instead of
+    whenever Python GC happens to fire (a 10^4-merge run would
+    otherwise pile up thousands of vocabulary-sized block sets)."""
     import gc
 
     spark = docs.sparkSession
-    syms = initial_symbols(word_counts(docs, text_col=text_col))
+    wc = word_counts(docs, text_col=text_col)
+    if driver_max_words:
+        # limit(N+1) bounds the transfer: N+1 rows back means the
+        # vocabulary exceeds the driver budget -> distributed loop
+        head = wc.limit(driver_max_words + 1).toPandas()
+        if len(head) <= driver_max_words:
+            word_cnt = dict(
+                zip(head["word"].tolist(), head["cnt"].tolist())
+            )
+            return spark.createDataFrame(
+                _driver_bpe(word_cnt, n_merges, min_pair_count),
+                MERGES_SCHEMA,
+            )
+    syms = initial_symbols(wc)
     syms = syms.localCheckpoint(eager=True)
     records: list[tuple] = []
     for rank in range(n_merges):

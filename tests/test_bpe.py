@@ -134,3 +134,50 @@ def test_unicode_symbols_survive(spark):
     # without mangling multi-byte chars anywhere in the table
     for s in syms:
         assert isinstance(s, str) and len(s) >= 1
+
+
+def test_driver_and_distributed_paths_match_spec_exactly(spark):
+    """Round-5 fast path: the collected in-process loop (_driver_bpe,
+    the default) and the distributed loop (driver_max_words=0) must
+    produce the IDENTICAL merge sequence, equal to spec_bpe."""
+    want = spec_bpe(_spec_word_counts(), 12)
+    fast = learn_bpe(_df(spark), n_merges=12)  # driver path (default)
+    slow = learn_bpe(_df(spark), n_merges=12, driver_max_words=0)
+    as_tuples = lambda df: [
+        (r.rank, r.left_sym, r.right_sym, r.merged, r.pair_count)
+        for r in df.orderBy("rank").collect()
+    ]
+    assert as_tuples(fast) == want
+    assert as_tuples(slow) == want
+
+
+def test_driver_bpe_incremental_matches_naive_spec_deep():
+    """Pure-python deep parity: a 60-word weighted vocabulary with
+    shared prefixes/suffixes, 200 merge budget (runs to exhaustion) —
+    exercises heap staleness, zero-delta skips, and where-set decay."""
+    from simhash_text_dedup_spark.operators.bpe import _driver_bpe
+
+    base = [
+        "low", "lower", "lowest", "newest", "widest", "wider",
+        "reread", "rereads", "banana", "bananas", "abracadabra",
+        "mississippi", "aaaa", "aaab", "abab", "baba", "xyzzy",
+    ]
+    word_cnt = {}
+    k = 0
+    for w in base:
+        for suf in ("", "s", "ing", "ed"):
+            k += 1
+            word_cnt[w + suf] = (k * 7919) % 23 + 1  # deterministic
+    got = _driver_bpe(word_cnt, 200, min_pair_count=2)
+    want = spec_bpe(word_cnt, 200, min_pair_count=2)
+    assert got == want
+
+
+def test_driver_bpe_early_stop_and_empty():
+    from simhash_text_dedup_spark.operators.bpe import _driver_bpe
+
+    assert _driver_bpe({}, 10) == []
+    assert _driver_bpe({"ab": 1, "cd": 1}, 10, min_pair_count=2) == []
+    assert _driver_bpe({"ab": 3}, 10, min_pair_count=2) == spec_bpe(
+        {"ab": 3}, 10, min_pair_count=2
+    )
