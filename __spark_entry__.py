@@ -2769,7 +2769,14 @@ def _dd_xxround(acc: str, inp: str) -> str:
 
 def _xxhash64_fp_sql(src: str = "documents", text_col: str = "text") -> str:
     """Full SELECT computing xxhash64(text) (= doc_fingerprint) for
-    every `src` row as (doc_id, fp64), fp64 signed int64."""
+    every `src` row as (doc_id, fp64), fp64 signed int64.
+
+    NULL-text caveat (ADVICE r4): this twin yields NULL fp64 for NULL
+    text (encode(NULL) propagates), whereas Spark's xxhash64 skips the
+    NULL input and returns the seed (42).  The oracle contract assumes
+    non-null text — every fixture corpus and the driver's testdata
+    tables satisfy this; a nullable-text caller must coalesce to a
+    sentinel on BOTH sides before comparing."""
     nib = lambda k: f"(strpos('0123456789abcdef', substr(hx, {k}, 1)) - 1)"
     byte_i = (
         f"CAST({nib('2*i - 1')} AS HUGEINT) * 16 + CAST({nib('2*i')} AS HUGEINT)"

@@ -108,9 +108,8 @@ def plan_minhash_bands(
         raise ValueError(f"threshold must be in (0, 1), got {threshold}")
     best: tuple[float, int, int] | None = None
     for n_rows in range(1, n_perms + 1):
+        # n_bands = n_perms // n_rows >= 1 for every n_rows <= n_perms
         n_bands = n_perms // n_rows
-        if n_bands < 1:
-            break
         fp = 0.0
         dx = threshold / _steps
         for k in range(_steps):

@@ -109,6 +109,14 @@ def radius_sweep(pairs: DataFrame, max_radius: int = 3) -> DataFrame:
     cumulative count a run at that radius would verify, and its
     integer-permille share of the max-radius total.
 
+    Note on the radius-0 row: it counts only radius-0 pairs PRESENT IN
+    THE VERIFIED PAIR SET.  In the pipeline, exact-fingerprint
+    duplicates are collapsed by the upstream fingerprint grouping and
+    never reach near_pairs (which emits hamming in [1, k]), so on a
+    corpus with exact dups the radius-0 row is structurally 0 and
+    understates what radius 0 'buys' — read the exact-dup group sizes
+    (exact_groups / spam stats) for that share instead.
+
     Scale shape: one map-side-combined groupBy onto <= max_radius+1
     keys; the windows run over that <= max_radius+1-row frame, never
     over the corpus.  Ratios are integer-exact (CLAUDE.md rule 4).

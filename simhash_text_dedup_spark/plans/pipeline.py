@@ -16,7 +16,7 @@ from __future__ import annotations
 import os
 from dataclasses import dataclass
 
-from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from simhash_text_dedup_spark.config import DedupConfig
@@ -353,7 +353,11 @@ def run_dedup(
                 "hamming", F.col("hamming").cast("int")
             ).unionByName(sub)
         # a pair may be found by several matchers; keep one row each
-        # (kind priority: exact > near > minhash > containment > substring)
+        # (kind priority: exact > near > minhash > containment >
+        # substring).  min(struct(prio, ...)) = one partial-aggregating
+        # hash agg over the pair set instead of a sort-based row_number
+        # window; deterministic because prio is a function of kind and
+        # each matcher emits at most one row per pair.
         prio = (
             F.when(F.col("kind") == "exact", 0)
             .when(F.col("kind") == "near", 1)
@@ -361,11 +365,21 @@ def run_dedup(
             .when(F.col("kind") == "containment", 3)
             .otherwise(4)
         )
-        w = Window.partitionBy("a_id", "b_id").orderBy(prio)
         all_pairs = (
-            all_pairs.withColumn("_rn", F.row_number().over(w))
-            .filter(F.col("_rn") == 1)
-            .drop("_rn")
+            all_pairs.groupBy("a_id", "b_id")
+            .agg(
+                F.min(
+                    F.struct(
+                        prio.alias("_prio"), F.col("kind"), F.col("hamming")
+                    )
+                ).alias("_best")
+            )
+            .select(
+                "a_id",
+                "b_id",
+                F.col("_best.hamming").alias("hamming"),
+                F.col("_best.kind").alias("kind"),
+            )
         )
 
     pairs = ck.through(all_pairs, "pairs")

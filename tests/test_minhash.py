@@ -189,3 +189,15 @@ def test_plan_minhash_bands_properties():
         plan_minhash_bands(0.0)
     with pytest.raises(ValueError):
         plan_minhash_bands(1.0)
+
+
+def test_pair_union_dedup_is_hash_agg_not_window(spark, ext_result):
+    """Round-5 (VERDICT r4 #5): the multi-matcher kind-priority dedup
+    is a min(struct(prio,...)) hash aggregate, NOT a row_number window
+    — no sort-based Window exchange over the pair set."""
+    res, _, _ = ext_result
+    plan = res.pairs._jdf.queryExecution().executedPlan().toString()
+    assert "Window" not in plan, plan
+    # and the result still carries exactly one row per pair
+    pdf = res.pairs.toPandas()
+    assert not pdf.duplicated(["a_id", "b_id"]).any()
