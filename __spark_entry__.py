@@ -2701,9 +2701,11 @@ def _code_normalize_sql() -> str:
 
 
 def _lang_id_sql() -> str:
-    from simhash_text_dedup_spark.functions.langid import detect_lang_sql
+    from simhash_text_dedup_spark.functions.langid import (
+        detect_lang_full_sql,
+    )
 
-    return f"SELECT doc_id, {detect_lang_sql('text')} AS lang_pred FROM documents"
+    return detect_lang_full_sql("documents", "text", "doc_id")
 
 
 # ----------------------------------------------------------------------

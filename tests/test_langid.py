@@ -1,0 +1,153 @@
+"""Language ID (functions/langid.py): 20-language classifier accuracy
+on planted multilingual fixtures + exact DuckDB-twin parity.
+
+Reference analog: com/cybozu/labs/langdetect/Detector.java (53 n-gram
+profiles); our classifier covers 20 languages via script detection +
+Latin stopword argmax (see the module docstring for the mapping).
+"""
+
+import duckdb
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from simhash_text_dedup_spark.functions.langid import (
+    ALL_LANGS,
+    LATIN_ORDER,
+    detect_lang,
+    detect_lang_full_sql,
+)
+
+# planted fixtures: 2 docs per language, natural-ish running text
+FIXTURES = [
+    ("ja", "これは日本語のテキストです。カタカナのコンピュータも含みます。"),
+    ("ja", "東京タワーから見た景色はとてもきれいでした。"),
+    ("zh", "这是一段中文文本,完全由汉字组成,没有任何假名。"),
+    ("zh", "北京是中国的首都,历史悠久,文化丰富。"),
+    ("ko", "이것은 한국어로 작성된 텍스트입니다. 한글만 사용합니다."),
+    ("ko", "서울은 대한민국의 수도이며 인구가 많습니다."),
+    ("th", "นี่คือข้อความภาษาไทยสำหรับการทดสอบระบบ"),
+    ("th", "กรุงเทพมหานครเป็นเมืองหลวงของประเทศไทย"),
+    ("hi", "यह हिंदी में लिखा गया एक परीक्षण पाठ है।"),
+    ("hi", "भारत एक विशाल देश है जिसकी संस्कृति समृद्ध है।"),
+    ("he", "זהו טקסט בדיקה שנכתב בעברית מודרנית."),
+    ("he", "ירושלים היא עיר עתיקה מאוד בהיסטוריה."),
+    ("ar", "هذا نص تجريبي مكتوب باللغة العربية الفصحى."),
+    ("ar", "القاهرة مدينة كبيرة جدا في مصر."),
+    ("el", "αυτό είναι ένα δοκιμαστικό κείμενο στα ελληνικά."),
+    ("el", "η αθήνα είναι η πρωτεύουσα της ελλάδας."),
+    ("ru", "это тестовый текст написанный на русском языке без украинских букв."),
+    ("ru", "москва очень большой город с длинной историей."),
+    ("uk", "це тестовий текст українською мовою з літерами і ї є ґ."),
+    ("uk", "київ є столицею україни і дуже гарне місто."),
+    ("de", "der hund und die katze sind nicht mit dem vogel auf ein dach."),
+    ("de", "das wetter ist heute schön und wir werden auch spazieren gehen."),
+    ("en", "the quick brown fox jumps over the lazy dog in the garden."),
+    ("en", "this is a test of the language detection system that we have."),
+    ("es", "el perro y los gatos están sobre la mesa pero son muy tranquilos."),
+    ("es", "las ciudades de españa son más bonitas entre primavera y verano."),
+    ("fr", "le chien est dans le jardin avec les enfants qui ne jouent pas."),
+    ("fr", "les villes de france sont belles pour ceux qui ont du temps."),
+    ("it", "il cane è nel giardino con una palla che per lui è anche bella."),
+    ("it", "le città della italia sono più belle anche nel periodo estivo."),
+    ("nl", "de hond en het paard zijn niet voor een spel met de kat aan zee."),
+    ("nl", "het weer wordt mooi en wij gaan ook naar het strand vandaag."),
+    ("pl", "to nie jest bardzo trudny tekst ale może być przez to tylko test."),
+    ("pl", "czy to jest tak że być może oraz bardzo dobrze się uczy."),
+    ("pt", "os cães não estão com um gato mas são para quem foi mais rápido."),
+    ("pt", "as cidades também são bonitas para quem não foi ser turista."),
+    ("sv", "hunden och katten är inte på taket för det har en fågel med sig."),
+    ("sv", "det är en fin dag och vi har inte varit till staden för att handla."),
+    ("tr", "bu bir test metni ve daha çok kelime ile yazılmış gibi ancak değil."),
+    ("tr", "istanbul çok büyük bir şehir ve sonra daha kadar güzel değil mi."),
+    ("und", "zzz qqq xxx 12345 67890"),
+    ("und", ""),
+]
+
+
+@pytest.fixture(scope="module")
+def fixture_df(spark):
+    rows = [(i, lang, text) for i, (lang, text) in enumerate(FIXTURES)]
+    return spark.createDataFrame(
+        rows, "doc_id long, lang_true string, text string"
+    )
+
+
+def test_accuracy_on_planted_fixtures(spark, fixture_df):
+    """Every planted doc classifies to its true language — script
+    languages via block counts, Latin via stopword argmax, und when
+    nothing matches."""
+    got = {
+        r.doc_id: r.lang_pred
+        for r in fixture_df.select(
+            "doc_id", detect_lang(F.col("text")).alias("lang_pred")
+        ).collect()
+    }
+    wrong = [
+        (i, FIXTURES[i][0], got[i])
+        for i in range(len(FIXTURES))
+        if got[i] != FIXTURES[i][0]
+    ]
+    assert not wrong, f"misclassified: {wrong}"
+
+
+def test_coverage_is_20_languages_incl_cjk():
+    assert len(set(ALL_LANGS)) >= 20
+    for lang in ("ja", "zh", "ko"):
+        assert lang in ALL_LANGS
+    assert len(LATIN_ORDER) == 10
+
+
+def test_duckdb_twin_exact_parity(spark, fixture_df):
+    """detect_lang and detect_lang_full_sql agree row-for-row on the
+    fixtures AND on adversarial mixed-language rows."""
+    extra = [
+        (100, "?", "der hund the fox le chien"),     # Latin 3-way tie
+        (101, "?", "一 a 二 b"),                      # han below threshold
+        (102, "?", "日本語と english mixed コンテンツ"),  # kana wins
+        (103, "?", "і ї це"),                        # cyrillic below min
+        (104, "?", "это текст з і ї є літерами"),     # cyrillic + uk marks
+    ]
+    df = fixture_df.unionByName(
+        spark.createDataFrame(
+            extra, "doc_id long, lang_true string, text string"
+        )
+    )
+    got = (
+        df.select("doc_id", detect_lang(F.col("text")).alias("lang_pred"))
+        .toPandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    pdf = df.select("doc_id", "text").toPandas()
+    con = duckdb.connect()
+    con.register("documents", pdf)
+    want = (
+        con.sql(detect_lang_full_sql("documents", "text", "doc_id"))
+        .df()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    assert got["lang_pred"].tolist() == want["lang_pred"].tolist()
+
+
+def test_tie_breaks_alphabetical_first(spark):
+    """Equal Latin scores resolve to the alphabetically first language
+    (deterministic, engine-portable)."""
+    df = spark.createDataFrame(
+        [(1, "der the")], "doc_id long, text string"
+    )  # de and en each score 1
+    row = df.select(detect_lang(F.col("text")).alias("p")).collect()[0]
+    assert row.p == "de"
+
+
+def test_stray_foreign_chars_do_not_flip(spark):
+    """A mostly-English doc with 1-2 CJK chars stays English
+    (SCRIPT_MIN guard)."""
+    df = spark.createDataFrame(
+        [(1, "the quick brown fox of the 中 garden"),
+         (2, "this is the file 漢字 with two chars 的 only")],
+        "doc_id long, text string",
+    )
+    got = [r.p for r in df.select(detect_lang(F.col("text")).alias("p")).collect()]
+    assert got == ["en", "en"]
