@@ -140,6 +140,7 @@ def main_default() -> None:
         "simhash_clusters",
         "dup_spans",
         "lm_quality",
+        "tiered_dedup",
     ]
     timings: dict[str, float] = {}
     for name in headline:
