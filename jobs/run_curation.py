@@ -76,6 +76,12 @@ def main() -> None:
     p.add_argument("--sample-mod", type=int, default=None, metavar="K",
                    help="write the deterministic fp %% K == R hash sample")
     p.add_argument("--sample-rem", type=int, default=0, metavar="R")
+    p.add_argument("--lang-id", default=None, metavar="LANGS",
+                   help="label every doc with the detected language "
+                        "(functions/langid.py, 20 languages); pass a "
+                        "comma list (e.g. en,de,fr) to ALSO write the "
+                        "kept subset, or 'all' to only label — the "
+                        "CCNet-style first gate")
     p.add_argument("--quality", action="store_true",
                    help="composite Gopher-style quality rule battery")
     p.add_argument("--code-filter", action="store_true",
@@ -202,6 +208,18 @@ def main() -> None:
         docs.filter(fp % args.sample_mod == args.sample_rem).write.mode(
             "overwrite"
         ).parquet(f"{args.output}/sample")
+    if args.lang_id:
+        from simhash_text_dedup_spark.functions.langid import detect_lang
+
+        labeled = docs.withColumn("lang_pred", detect_lang(F.col(args.text_col)))
+        labeled.select(args.id_col, "lang_pred").write.mode(
+            "overwrite"
+        ).parquet(f"{args.output}/lang_id")
+        if args.lang_id != "all":
+            keep = [s.strip() for s in args.lang_id.split(",") if s.strip()]
+            labeled.filter(F.col("lang_pred").isin(keep)).drop(
+                "lang_pred"
+            ).write.mode("overwrite").parquet(f"{args.output}/lang_kept")
     if args.quality:
         from simhash_text_dedup_spark.operators.quality import quality_filter
 

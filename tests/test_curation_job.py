@@ -365,3 +365,32 @@ def test_run_curation_tiered_dedup(spark, tmp_path, monkeypatch):
     assert set(surv.columns) == {"doc_id", "text"}
     ids = {r.doc_id for r in surv.collect()}
     assert ids == {1, 6} | {d for d in (4, 5) if acts[d][0] == "keep"}
+
+
+def test_run_curation_lang_id_gate(spark, tmp_path, monkeypatch):
+    """--lang-id labels every doc and writes the kept-languages subset
+    (the CCNet-style first gate, wired round 5)."""
+    docs = spark.createDataFrame(
+        [
+            (1, "the quick brown fox is in the garden with the dog"),
+            (2, "der hund und die katze sind nicht auf dem dach"),
+            (3, "これは日本語のテキストですカタカナも含みます"),
+            (4, "zzz qqq 123"),
+        ],
+        "doc_id long, text string",
+    )
+    inp, out = str(tmp_path / "in"), str(tmp_path / "out")
+    docs.write.parquet(inp)
+    monkeypatch.setattr(
+        sys, "argv",
+        ["run_curation.py", "--input", inp, "--output", out,
+         "--lang-id", "en,de"],
+    )
+    _load_job().main()
+    labels = {
+        r.doc_id: r.lang_pred
+        for r in spark.read.parquet(f"{out}/lang_id").collect()
+    }
+    assert labels == {1: "en", 2: "de", 3: "ja", 4: "und"}
+    kept = {r.doc_id for r in spark.read.parquet(f"{out}/lang_kept").collect()}
+    assert kept == {1, 2}
