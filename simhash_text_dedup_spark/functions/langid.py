@@ -3,7 +3,7 @@
 The reference bundles the cybozu langdetect n-gram classifier with 53
 language profiles (com/cybozu/labs/langdetect/Detector.java, SURVEY.md
 §2.8 F10).  This is the JVM-side, oracle-checkable analog, deepened in
-round 5 from a 4-language stopword demo to a 20-language classifier
+round 5 from a 4-language stopword demo to a 28-language classifier
 (CJK included) along the same two axes real systems shortcut on:
 
 1. SCRIPT detection (decisive for 10 languages): count characters in
@@ -16,7 +16,10 @@ round 5 from a 4-language stopword demo to a 20-language classifier
    foreign char or a short quoted snippet never flips a document while
    genuinely CJK/Cyrillic/... text (where the script dominates) always
    does.
-2. LATIN languages (10): frozen stopword profiles (public frequency
+2. LATIN languages (18): frozen stopword profiles — DISTINCTIVE
+   words only (cross-language shared stopwords like es/fr 'de' are
+   deliberately absent so the additive argmax separates relatives;
+   da/no split on af/efter vs av/etter etc.) (public frequency
    lists), additive hit counts over whitespace tokens, argmax with
    alphabetical-first tie-break via lexicographic struct comparison —
    'und' when every score is zero.
@@ -63,6 +66,22 @@ LANG_PROFILES: dict[str, list[str]] = {
            "av", "den", "till", "inte", "har"],
     "tr": ["bir", "ve", "bu", "için", "ile", "olarak", "daha", "çok",
            "gibi", "ama", "kadar", "sonra", "değil", "ancak"],
+    "cs": ["je", "se", "že", "ale", "jako", "byl", "jsem", "který",
+           "jsou", "pro", "není", "této", "když", "také"],
+    "da": ["af", "hvad", "hvor", "været", "efter", "også", "kunne",
+           "skulle", "hvis", "meget", "uden", "dansk", "ind", "sig"],
+    "fi": ["ja", "on", "ei", "että", "oli", "mutta", "hän", "myös",
+           "kun", "niin", "kuin", "ovat", "jossa", "sitä"],
+    "hu": ["és", "hogy", "nem", "az", "egy", "van", "volt", "mint",
+           "csak", "már", "meg", "vagy", "még", "lehet"],
+    "id": ["yang", "dan", "di", "itu", "dengan", "untuk", "tidak",
+           "ini", "dari", "dalam", "akan", "pada", "juga", "adalah"],
+    "no": ["av", "jeg", "fra", "ble", "eller", "når", "etter", "bare",
+           "noe", "mer", "både", "norsk", "skal", "vil"],
+    "ro": ["și", "este", "nu", "cu", "din", "care", "mai", "pentru",
+           "dar", "sunt", "fost", "după", "către", "unde"],
+    "vi": ["và", "của", "là", "có", "không", "được", "trong", "người",
+           "những", "một", "cho", "này", "với", "đã"],
 }
 LATIN_ORDER = sorted(LANG_PROFILES)  # tie-break priority: alphabetical
 LANG_ORDER = LATIN_ORDER  # kept name for callers of the round-<5 API

@@ -1,8 +1,8 @@
-"""Language ID (functions/langid.py): 20-language classifier accuracy
+"""Language ID (functions/langid.py): 28-language classifier accuracy
 on planted multilingual fixtures + exact DuckDB-twin parity.
 
 Reference analog: com/cybozu/labs/langdetect/Detector.java (53 n-gram
-profiles); our classifier covers 20 languages via script detection +
+profiles); our classifier covers 28 languages via script detection +
 Latin stopword argmax (see the module docstring for the mapping).
 """
 
@@ -60,6 +60,22 @@ FIXTURES = [
     ("sv", "det är en fin dag och vi har inte varit till staden för att handla."),
     ("tr", "bu bir test metni ve daha çok kelime ile yazılmış gibi ancak değil."),
     ("tr", "istanbul çok büyük bir şehir ve sonra daha kadar güzel değil mi."),
+    ("cs", "to je text který se píše jako zkouška ale není pro této chvíle."),
+    ("cs", "praha je město které jsem měl rád když jsou také hezké dny."),
+    ("da", "hvad sker der efter at vi også har været hvor det kunne gøres."),
+    ("da", "hvis man skulle rejse uden meget bagage er det også dansk skik."),
+    ("fi", "tämä on teksti joka on kirjoitettu kun myös testi oli niin hyvä."),
+    ("fi", "helsinki on kaupunki jossa hän oli mutta myös sitä kuin ennen."),
+    ("hu", "ez egy szöveg hogy nem csak az ami már volt mint lehet még."),
+    ("hu", "budapest egy nagy város és van benne sok ház vagy híd meg tér."),
+    ("id", "ini adalah teks yang ditulis dengan bahasa untuk tidak salah."),
+    ("id", "jakarta adalah kota besar dari negara ini dan juga pada pulau."),
+    ("no", "jeg skal reise fra byen når det ble sent eller bare litt mer."),
+    ("no", "dette er norsk tekst som ble skrevet etter at jeg kom både hit."),
+    ("ro", "acesta este un text care nu este scris pentru a fi mai greu dar simplu."),
+    ("ro", "bucurești este un oraș mare din țara unde sunt și alte locuri după deal."),
+    ("vi", "đây là một văn bản được viết cho những người không có thời gian."),
+    ("vi", "hà nội là thành phố của việt nam với nhiều người và xe đã qua."),
     ("und", "zzz qqq xxx 12345 67890"),
     ("und", ""),
 ]
@@ -91,11 +107,11 @@ def test_accuracy_on_planted_fixtures(spark, fixture_df):
     assert not wrong, f"misclassified: {wrong}"
 
 
-def test_coverage_is_20_languages_incl_cjk():
-    assert len(set(ALL_LANGS)) >= 20
+def test_coverage_is_28_languages_incl_cjk():
+    assert len(set(ALL_LANGS)) >= 28
     for lang in ("ja", "zh", "ko"):
         assert lang in ALL_LANGS
-    assert len(LATIN_ORDER) == 10
+    assert len(LATIN_ORDER) == 18
 
 
 def test_duckdb_twin_exact_parity(spark, fixture_df):
