@@ -3,15 +3,18 @@
 The reference bundles the cybozu langdetect n-gram classifier with 53
 language profiles (com/cybozu/labs/langdetect/Detector.java, SURVEY.md
 §2.8 F10).  This is the JVM-side, oracle-checkable analog, deepened in
-round 5 from a 4-language stopword demo to a 28-language classifier
+round 5 from a 4-language stopword demo to a 43-language classifier
 (CJK included) along the same two axes real systems shortcut on:
 
-1. SCRIPT detection (decisive for 10 languages): count characters in
+1. SCRIPT detection (decisive for 25 languages): count characters in
    frozen Unicode-block classes via ``regexp_count`` — kana is unique
    to Japanese, hangul to Korean, han-without-kana reads Chinese, and
-   Thai/Devanagari/Hebrew/Arabic/Greek/Cyrillic blocks map 1:1 (with a
-   Ukrainian-specific letter probe і/ї/є/ґ splitting Cyrillic into
-   uk/ru).  A rule fires only when the script has >= SCRIPT_MIN
+   Thai/Devanagari/Hebrew/Greek + the Indic (Bengali, Gurmukhi,
+   Gujarati, Tamil, Telugu, Kannada, Malayalam, Sinhala), SE-Asian
+   (Myanmar, Khmer, Lao), Caucasus (Georgian, Armenian) and Ethiopic
+   blocks map 1:1; letter probes split the shared-script pairs —
+   і/ї/є/ґ turns Cyrillic into uk vs ru, پ/چ/ژ/گ turns Arabic script
+   into fa vs ar.  A rule fires only when the script has >= SCRIPT_MIN
    chars AND >= 1/SCRIPT_DENSITY of the text's characters, so a stray
    foreign char or a short quoted snippet never flips a document while
    genuinely CJK/Cyrillic/... text (where the script dominates) always
@@ -98,6 +101,20 @@ SCRIPT_PATTERNS: dict[str, str] = {
     "arabic": "[؀-ۿ]",
     "greek": "[Ͱ-Ͽ]",
     "cyrillic": "[Ѐ-ӿ]",
+    "bengali": "[ঀ-৿]",
+    "gurmukhi": "[਀-੿]",   # Punjabi
+    "gujarati": "[઀-૿]",
+    "tamil": "[஀-௿]",
+    "telugu": "[ఀ-౿]",
+    "kannada": "[ಀ-೿]",
+    "malayalam": "[ഀ-ൿ]",
+    "sinhala": "[඀-෿]",
+    "georgian": "[Ⴀ-ჿ]",
+    "armenian": "[԰-֏]",
+    "ethiopic": "[ሀ-፿]",   # Amharic
+    "myanmar": "[က-႟]",
+    "khmer": "[ក-៿]",
+    "lao": "[຀-໿]",
 }
 # rule chain, first match wins; kana before han so Japanese (which
 # mixes kanji + kana) never reads as Chinese
@@ -108,16 +125,33 @@ SCRIPT_RULES: list[tuple[str, str]] = [
     ("thai", "th"),
     ("deva", "hi"),
     ("hebrew", "he"),
-    ("arabic", "ar"),
     ("greek", "el"),
-    # cyrillic handled specially (uk/ru split)
+    ("bengali", "bn"),
+    ("gurmukhi", "pa"),
+    ("gujarati", "gu"),
+    ("tamil", "ta"),
+    ("telugu", "te"),
+    ("kannada", "kn"),
+    ("malayalam", "ml"),
+    ("sinhala", "si"),
+    ("georgian", "ka"),
+    ("armenian", "hy"),
+    ("ethiopic", "am"),
+    ("myanmar", "my"),
+    ("khmer", "km"),
+    ("lao", "lo"),
+    # arabic (ar/fa split) and cyrillic (ru/uk split) handled specially
 ]
 UK_MARKERS = "[іїєґ]"  # Ukrainian-only Cyrillic letters (lowercased)
+FA_MARKERS = "[پچژگ]"  # Persian-only Arabic-script letters
 SCRIPT_MIN = 3      # absolute floor: chars of the script
 SCRIPT_DENSITY = 5  # ...and at least 1/5 of all characters
 UK_MIN = 2
+FA_MIN = 2
 
-ALL_LANGS = [lang for _, lang in SCRIPT_RULES] + ["ru", "uk"] + LATIN_ORDER
+ALL_LANGS = (
+    [lang for _, lang in SCRIPT_RULES] + ["ar", "fa", "ru", "uk"] + LATIN_ORDER
+)
 
 
 def _contains_factory(words: list[str]):
@@ -168,7 +202,8 @@ def detect_lang(text: Column) -> Column:
         for k, c in script.items()
     }
     uk = F.regexp_count(F.lower(text), F.lit(UK_MARKERS))
-    # bind the token array once; the 10 language filters reference it
+    fa = F.regexp_count(text, F.lit(FA_MARKERS))
+    # bind the token array once; the per-language filters reference it
     best = F.get(
         F.transform(
             F.array(F.split(F.lower(text), " ")),
@@ -182,6 +217,10 @@ def detect_lang(text: Column) -> Column:
     expr = F.when(
         fires["cyrillic"],
         F.when(uk >= UK_MIN, F.lit("uk")).otherwise(F.lit("ru")),
+    ).otherwise(expr)
+    expr = F.when(
+        fires["arabic"],
+        F.when(fa >= FA_MIN, F.lit("fa")).otherwise(F.lit("ar")),
     ).otherwise(expr)
     for key, lang in reversed(SCRIPT_RULES):
         expr = F.when(fires[key], F.lit(lang)).otherwise(expr)
@@ -225,6 +264,8 @@ def detect_lang_full_sql(
         SELECT {id_col},
           CASE
             {whens}
+            WHEN {fire('arabic')} THEN
+              (CASE WHEN _fa >= {FA_MIN} THEN 'fa' ELSE 'ar' END)
             WHEN {fire('cyrillic')} THEN
               (CASE WHEN _uk >= {UK_MIN} THEN 'uk' ELSE 'ru' END)
             WHEN struct_extract(_best, 's') > 0
@@ -234,6 +275,7 @@ def detect_lang_full_sql(
         FROM (
           SELECT {id_col}, {scripts}, length({text_col}) AS _n,
             len(regexp_extract_all(lower({text_col}), '{UK_MARKERS}')) AS _uk,
+            len(regexp_extract_all({text_col}, '{FA_MARKERS}')) AS _fa,
             {packs} AS _best
           FROM {src}
         )

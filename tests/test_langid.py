@@ -1,8 +1,8 @@
-"""Language ID (functions/langid.py): 28-language classifier accuracy
+"""Language ID (functions/langid.py): 43-language classifier accuracy
 on planted multilingual fixtures + exact DuckDB-twin parity.
 
 Reference analog: com/cybozu/labs/langdetect/Detector.java (53 n-gram
-profiles); our classifier covers 28 languages via script detection +
+profiles); our classifier covers 43 languages via script detection +
 Latin stopword argmax (see the module docstring for the mapping).
 """
 
@@ -76,6 +76,36 @@ FIXTURES = [
     ("ro", "bucurești este un oraș mare din țara unde sunt și alte locuri după deal."),
     ("vi", "đây là một văn bản được viết cho những người không có thời gian."),
     ("vi", "hà nội là thành phố của việt nam với nhiều người và xe đã qua."),
+    ("bn", "এটি বাংলা ভাষায় লেখা একটি পরীক্ষামূলক লেখা।"),
+    ("bn", "ঢাকা বাংলাদেশের রাজধানী এবং বৃহত্তম শহর।"),
+    ("pa", "ਇਹ ਪੰਜਾਬੀ ਵਿੱਚ ਲਿਖਿਆ ਇੱਕ ਟੈਸਟ ਹੈ।"),
+    ("pa", "ਅੰਮ੍ਰਿਤਸਰ ਪੰਜਾਬ ਦਾ ਇੱਕ ਵੱਡਾ ਸ਼ਹਿਰ ਹੈ।"),
+    ("gu", "આ ગુજરાતીમાં લખાયેલ એક પરીક્ષણ છે."),
+    ("gu", "અમદાવાદ ગુજરાતનું સૌથી મોટું શહેર છે."),
+    ("ta", "இது தமிழில் எழுதப்பட்ட சோதனை உரை ஆகும்."),
+    ("ta", "சென்னை தமிழ்நாட்டின் தலைநகரம் ஆகும்."),
+    ("te", "ఇది తెలుగులో రాసిన పరీక్ష వచనం."),
+    ("te", "హైదరాబాద్ తెలంగాణ రాజధాని నగరం."),
+    ("kn", "ಇದು ಕನ್ನಡದಲ್ಲಿ ಬರೆದ ಪರೀಕ್ಷಾ ಪಠ್ಯ."),
+    ("kn", "ಬೆಂಗಳೂರು ಕರ್ನಾಟಕದ ರಾಜಧಾನಿ ನಗರ."),
+    ("ml", "ഇത് മലയാളത്തിൽ എഴുതിയ പരീക്ഷണ വാചകം."),
+    ("ml", "കൊച്ചി കേരളത്തിലെ വലിയ നഗരമാണ്."),
+    ("si", "මෙය සිංහලෙන් ලියූ පරීක්ෂණ පාඨයකි."),
+    ("si", "කොළඹ ශ්‍රී ලංකාවේ විශාලතම නගරයයි."),
+    ("ka", "ეს არის ქართულად დაწერილი სატესტო ტექსტი."),
+    ("ka", "თბილისი საქართველოს დედაქალაქია."),
+    ("hy", "սա հայերեն գրված փորձնական տեքստ է։"),
+    ("hy", "երևանը հայաստանի մայրաքաղաքն է։"),
+    ("am", "ይህ በአማርኛ የተጻፈ የሙከራ ጽሑፍ ነው።"),
+    ("am", "አዲስ አበባ የኢትዮጵያ ዋና ከተማ ናት።"),
+    ("my", "ဒါက မြန်မာဘာသာဖြင့် ရေးထားသော စမ်းသပ်စာသား ဖြစ်သည်။"),
+    ("my", "ရန်ကုန်သည် မြန်မာနိုင်ငံ၏ အကြီးဆုံးမြို့ ဖြစ်သည်။"),
+    ("km", "នេះជាអត្ថបទសាកល្បងសរសេរជាភាសាខ្មែរ។"),
+    ("km", "ភ្នំពេញជារាជធានីនៃប្រទេសកម្ពុជា។"),
+    ("lo", "ນີ້ແມ່ນຂໍ້ຄວາມທົດສອບຂຽນເປັນພາສາລາວ."),
+    ("lo", "ວຽງຈັນເປັນນະຄອນຫຼວງຂອງປະເທດລາວ."),
+    ("fa", "این یک متن آزمایشی است که شامل واژه‌های گوناگون و کوچک می‌باشد."),
+    ("fa", "تهران پایتخت ایران است و شهری بزرگ با چندین پل و گذرگاه است."),
     ("und", "zzz qqq xxx 12345 67890"),
     ("und", ""),
 ]
@@ -107,8 +137,8 @@ def test_accuracy_on_planted_fixtures(spark, fixture_df):
     assert not wrong, f"misclassified: {wrong}"
 
 
-def test_coverage_is_28_languages_incl_cjk():
-    assert len(set(ALL_LANGS)) >= 28
+def test_coverage_is_43_languages_incl_cjk():
+    assert len(set(ALL_LANGS)) >= 43
     for lang in ("ja", "zh", "ko"):
         assert lang in ALL_LANGS
     assert len(LATIN_ORDER) == 18
@@ -123,6 +153,7 @@ def test_duckdb_twin_exact_parity(spark, fixture_df):
         (102, "?", "日本語と english mixed コンテンツ"),  # kana wins
         (103, "?", "і ї це"),                        # cyrillic below min
         (104, "?", "это текст з і ї є літерами"),     # cyrillic + uk marks
+        (105, "?", "هذا نص عربي مع حرف گ واحد فقط"),   # arabic, 1 fa mark only
     ]
     df = fixture_df.unionByName(
         spark.createDataFrame(
