@@ -78,7 +78,8 @@ def main() -> None:
     p.add_argument("--sample-rem", type=int, default=0, metavar="R")
     p.add_argument("--lang-id", default=None, metavar="LANGS",
                    help="label every doc with the detected language "
-                        "(functions/langid.py, 20 languages); pass a "
+                        "(functions/langid.py, all 53 reference "
+                        "profile codes); pass a "
                         "comma list (e.g. en,de,fr) to ALSO write the "
                         "kept subset, or 'all' to only label — the "
                         "CCNet-style first gate")

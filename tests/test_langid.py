@@ -1,9 +1,12 @@
-"""Language ID (functions/langid.py): 43-language classifier accuracy
-on planted multilingual fixtures + exact DuckDB-twin parity.
+"""Language ID (functions/langid.py): full 53-reference-profile
+classifier accuracy on planted multilingual fixtures + exact
+DuckDB-twin parity.
 
 Reference analog: com/cybozu/labs/langdetect/Detector.java (53 n-gram
-profiles); our classifier covers 43 languages via script detection +
-Latin stopword argmax (see the module docstring for the mapping).
+profiles); our classifier emits every one of the reference's 53 codes
+(plus 7 extra script-unique languages) via script-block detection,
+shared-script marker/probe splits (zh-cn/zh-tw, ar/fa/ur, ru/uk/bg/mk,
+hi/mr/ne) and a Latin stopword argmax (see the module docstring).
 """
 
 import duckdb
@@ -22,8 +25,10 @@ from simhash_text_dedup_spark.functions.langid import (
 FIXTURES = [
     ("ja", "これは日本語のテキストです。カタカナのコンピュータも含みます。"),
     ("ja", "東京タワーから見た景色はとてもきれいでした。"),
-    ("zh", "这是一段中文文本,完全由汉字组成,没有任何假名。"),
-    ("zh", "北京是中国的首都,历史悠久,文化丰富。"),
+    ("zh-cn", "这是一段中文文本,完全由汉字组成,没有任何假名。"),
+    ("zh-cn", "北京是中国的首都,历史悠久,文化丰富。"),
+    ("zh-tw", "這是一段用繁體中文寫的測試文字,裡面有許多漢字。"),
+    ("zh-tw", "臺北是一個很大的城市,國家的歷史也很長,大家都會說話。"),
     ("ko", "이것은 한국어로 작성된 텍스트입니다. 한글만 사용합니다."),
     ("ko", "서울은 대한민국의 수도이며 인구가 많습니다."),
     ("th", "นี่คือข้อความภาษาไทยสำหรับการทดสอบระบบ"),
@@ -106,6 +111,38 @@ FIXTURES = [
     ("lo", "ວຽງຈັນເປັນນະຄອນຫຼວງຂອງປະເທດລາວ."),
     ("fa", "این یک متن آزمایشی است که شامل واژه‌های گوناگون و کوچک می‌باشد."),
     ("fa", "تهران پایتخت ایران است و شهری بزرگ با چندین پل و گذرگاه است."),
+    ("ur", "یہ اردو میں لکھا گیا ہے اور اس میں بڑے الفاظ ہیں۔"),
+    ("ur", "کراچی پاکستان کا سب سے بڑا شہر ہے اور لوگ وہاں رہتے ہیں۔"),
+    ("bg", "това е тестов текст според който може да се провери защото съм тук."),
+    ("bg", "софия е столицата на българия и това е град след планината."),
+    ("mk", "скопје е главниот град на македонија и луѓето таму се љубезни."),
+    ("mk", "ова е текст на македонски јазик со букви ѓ и ќ и џ внатре."),
+    ("mr", "हे मराठी मध्ये लिहिलेले आहे आणि ही चाचणी आहे असे यांनी सांगितले."),
+    ("mr", "मुंबई मध्ये खूप लोक आहेत आणि ती मोठी नगरी आहे असे झाली नोंद."),
+    ("ne", "यो नेपाली भाषा मा गरेको परीक्षण हो र यो यहाँ लेखिएको छ।"),
+    ("ne", "काठमाडौं नेपालको राजधानी हो र त्यहाँ धेरै मानिस बस्ने गरेको छ।"),
+    ("af", "ek wil baie graag vir hulle hierdie boek gee want iemand het dit gesê."),
+    ("af", "ons sal altyd daardie plek onthou want dit het vir ons baie geword."),
+    ("et", "tema tuli pärast ning võttis oma raamatu kuid luges ainult selle."),
+    ("et", "tallinn on linn kus kõik saavad ka üks hetk oma aega veeta või mitte."),
+    ("hr", "ovo je tekst koji se piše kako bi se nakon toga ili zbog nečega vidjelo."),
+    ("hr", "zagreb je grad koji također ima duge godine povijesti i svi ga znaju."),
+    ("lt", "tai yra tekstas apie tai kaip buvo jau taip ir bet kurie metų dalykai."),
+    ("lt", "vilnius yra miestas kuriame ir buvo daug žmonių bei namų apie kuriuos."),
+    ("lv", "viņš arī bija tas kurš pēc gada tika savu darbu šajā vietā darījis."),
+    ("lv", "rīga ir pilsēta kur arī bija daudz cilvēku un tas tika zināms pēc kara."),
+    ("sk", "bol to text ktorý môže byť aj veľmi dobrý alebo podľa niečoho tiež zlý."),
+    ("sk", "bratislava je mesto kde boli domy ktoré sú aj staré a veľmi pekné."),
+    ("sl", "to je besedilo ki ga lahko tudi kot vendar zaradi tega niso brali ter več."),
+    ("sl", "ljubljana je mesto kjer bodo ljudje tudi svoje dni lahko preživeli ter več."),
+    ("so", "waxaa jira qoraal oo waa mid loo sameeyay iyo in kala duwan ayaa la arkay."),
+    ("so", "muqdisho waa magaalo weyn oo wuxuu qof walba iyo dad badan soo arkaan."),
+    ("sq", "ky është një tekst dhe për të gjithë nga shumë vende sipas këtë vitin."),
+    ("sq", "tirana është një qytet dhe shumë njerëz janë nga kjo anë sipas meje."),
+    ("sw", "hii ni maandishi katika lugha kwa watu wengi lakini pia kama kuwa sana."),
+    ("sw", "nairobi ni mji mkubwa kwa watu wake na pia kuna mambo sana kama hayo."),
+    ("tl", "ito ang teksto na ang mga tao ay hindi siya kung naman lang babasahin."),
+    ("tl", "ang maynila ay isang lungsod na mga tao ay marami at ito ay malaki."),
     ("und", "zzz qqq xxx 12345 67890"),
     ("und", ""),
 ]
@@ -137,11 +174,20 @@ def test_accuracy_on_planted_fixtures(spark, fixture_df):
     assert not wrong, f"misclassified: {wrong}"
 
 
-def test_coverage_is_43_languages_incl_cjk():
-    assert len(set(ALL_LANGS)) >= 43
-    for lang in ("ja", "zh", "ko"):
-        assert lang in ALL_LANGS
-    assert len(LATIN_ORDER) == 18
+def test_coverage_all_53_reference_profiles():
+    """Every language code the reference's langdetect profiles emit
+    (src/main/resources/com/cybozu/labs/langdetect/profiles) is a
+    possible output of detect_lang."""
+    ref_53 = (
+        "af ar bg bn cs da de el en es et fa fi fr gu he hi hr hu id "
+        "it ja kn ko lt lv mk ml mr ne nl no pa pl pt ro ru sk sl so "
+        "sq sv sw ta te th tl tr uk ur vi zh-cn zh-tw"
+    ).split()
+    assert len(ref_53) == 53
+    missing = [lang for lang in ref_53 if lang not in ALL_LANGS]
+    assert not missing, f"reference profiles not covered: {missing}"
+    assert len(set(ALL_LANGS)) >= 53
+    assert len(LATIN_ORDER) == 29
 
 
 def test_duckdb_twin_exact_parity(spark, fixture_df):
@@ -154,6 +200,10 @@ def test_duckdb_twin_exact_parity(spark, fixture_df):
         (103, "?", "і ї це"),                        # cyrillic below min
         (104, "?", "это текст з і ї є літерами"),     # cyrillic + uk marks
         (105, "?", "هذا نص عربي مع حرف گ واحد فقط"),   # arabic, 1 fa mark only
+        (106, "?", "一二三四五六七八九十"),               # han, no orthography marker -> zh-cn default
+        (107, "?", "это текст със съм дума"),            # cyrillic + 1 bg word -> bg
+        (108, "?", "ये शब्द हैं और कुछ नहीं"),              # deva, no mr/ne probe -> hi
+        (109, "?", "نص میں ایک ڑ"),                      # arabic + 2 ur marks -> ur
     ]
     df = fixture_df.unionByName(
         spark.createDataFrame(
