@@ -274,7 +274,19 @@ def detect_lang(text: Column) -> Column:
 
     RULE_CHAIN first (first match wins, >= SCRIPT_MIN chars at
     >= 1/SCRIPT_DENSITY density), then the Latin stopword argmax.
-    Integer-exact; twin: ``detect_lang_full_sql``."""
+    Integer-exact; twin: ``detect_lang_full_sql``.
+
+    ASCII fast path: the whole script chain sits under ONE cheap
+    ``rlike [^\\x00-\\x7F]`` guard.  Every script pattern and marker
+    class is non-ASCII, so pure-ASCII text can never fire a script
+    rule — the guard is semantics-free, but CaseWhen codegen
+    short-circuits, so the ~30 per-script regex scans are skipped
+    for ASCII documents.  On a source-code corpus (the north rule's
+    input shape) that is nearly every row, and language ID is the
+    CCNet-style FIRST gate, upstream of everything — measured 1.57x
+    on the bench code corpus (the always-on Latin stopword argmax
+    dominates both paths; BENCH/langid_probe.py, round-5 note in
+    BENCH/BASELINE.md)."""
     script = {k: F.regexp_count(text, F.lit(p)) for k, p in SCRIPT_PATTERNS.items()}
     n_chars = F.length(text)
     fires = {
@@ -325,11 +337,13 @@ def detect_lang(text: Column) -> Column:
             .otherwise(F.lit("ru"))
         ),
     }
-    expr = F.when(best["s"] > 0, best["lang"]).otherwise(F.lit("und"))
+    latin = F.when(best["s"] > 0, best["lang"]).otherwise(F.lit("und"))
+    expr = latin
     for kind, key, lang in reversed(RULE_CHAIN):
         val = F.lit(lang) if kind == "lit" else composite[key]
         expr = F.when(fires[key], val).otherwise(expr)
-    return expr
+    # ASCII guard (see docstring): scripts can only fire on non-ASCII
+    return F.when(text.rlike(r"[^\x00-\x7F]"), expr).otherwise(latin)
 
 
 def detect_lang_full_sql(
