@@ -72,6 +72,43 @@ def test_query_vs_oracle(spark, ddb, name):
     assert not mism, f"{name}: first value mismatch at {mism[0]}: {sset[mism[0]]} vs {dset[mism[0]]}"
 
 
+# The driver records only the FIRST 50 queries() entries in
+# CORRECTNESS_r{N}.json (dict order is load-bearing — see CLAUDE.md).
+# Round 4's verdict flagged that the hash-verified production family had
+# drifted past position 50; round 5 reordered. Pin the contract so an
+# append/reorder can't silently regress it again.
+DRIVER_WINDOW = 50
+PRODUCTION_FAMILY = [
+    "simhash_fingerprints",
+    "simhash_clusters",
+    "simhash_clusters_greedy",
+    "incremental_round",
+    "minhash_pairs",
+    "tiered_dedup",
+    "semdedup",
+    "snapshot_merge",
+    "doc_fingerprint_xxhash",
+]
+
+
+def test_driver_window_fully_oracled():
+    window = list(entry_mod.queries().keys())[:DRIVER_WINDOW]
+    unoracled = [k for k in window if k not in ORACLES]
+    assert not unoracled, (
+        f"rows-only entries inside the driver's {DRIVER_WINDOW}-entry "
+        f"CORRECTNESS window waste hash-verified slots: {unoracled}"
+    )
+
+
+def test_production_family_inside_driver_window():
+    window = set(list(entry_mod.queries().keys())[:DRIVER_WINDOW])
+    missing = [k for k in PRODUCTION_FAMILY if k not in window]
+    assert not missing, (
+        f"production-path queries fell out of the driver's "
+        f"{DRIVER_WINDOW}-entry CORRECTNESS window: {missing}"
+    )
+
+
 def test_entry_smoke(spark):
     df = entry_mod.entry(spark)
     assert df.count() >= 0
