@@ -65,6 +65,9 @@ def main() -> None:
                     help="stop once a clean-basis median reaches this; "
                     "otherwise keep the best attempt and retry")
     ap.add_argument("--out", default="BENCH/scaling_retry.json")
+    ap.add_argument("--require-solid", action="store_true",
+                    help="only stop early on a SOLID basis (>= 2 clean "
+                    "pairs at target); a lone clean pair keeps hunting")
     args = ap.parse_args()
 
     def _quality(p: dict) -> tuple:
@@ -129,7 +132,9 @@ def main() -> None:
                         json.dump(best, f, indent=1)
                 print("scaling:", line, flush=True)
                 if (payload.get("basis") == "clean_pairs"
-                        and payload.get("value", 0.0) >= args.target):
+                        and payload.get("value", 0.0) >= args.target
+                        and (payload.get("n_clean", 0) >= 2
+                             or not args.require_solid)):
                     print(f"target {args.target} reached on a clean basis; "
                           "stopping", flush=True)
                     return
