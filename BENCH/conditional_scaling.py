@@ -101,7 +101,15 @@ def main() -> None:
                    "SPARK_GRAFT_BENCH_DOCS": os.environ.get(
                        "SPARK_GRAFT_BENCH_DOCS", "1000000"),
                    "SPARK_GRAFT_SCALING_REPS": os.environ.get(
-                       "SPARK_GRAFT_SCALING_REPS", "3")}
+                       "SPARK_GRAFT_SCALING_REPS", "3"),
+                   # absolute lo-leg validity band for the recorded
+                   # 1M-doc/2-core protocol (clean-pair ledger range
+                   # 76.7-92.7 s): a session whose EVERY T_2 leg is
+                   # inflated passes the median-relative band and
+                   # inflates efficiency (campaign-6: 96-102 s legs
+                   # scored 0.842/0.876 where the constant reads ~0.73)
+                   "SPARK_GRAFT_TLO_ABS_BAND": os.environ.get(
+                       "SPARK_GRAFT_TLO_ABS_BAND", "73,93")}
             res = subprocess.run(
                 [sys.executable, os.path.join(REPO, "bench.py"), "--scaling"],
                 capture_output=True, text=True, env=env, cwd=REPO,

@@ -271,6 +271,37 @@ def host_control(lo: int = 2, hi: int = 8, n_docs: int = 12000) -> float:
     return (walls[lo] / walls[hi]) / (hi / lo)
 
 
+def _apply_tlo_band(pairs: list, t_lo_key: str, abs_band: str = "") -> None:
+    """Invalidate pairs whose lo-core leg drifted off the job constant.
+
+    Relative check: the lo leg is per-core-compute bound and constant
+    across rounds (clean-pair ledger 76.7-92.7 s at 1M docs / 2 cores),
+    so a leg > 7% off the SESSION median is invalid in either direction
+    (a drifted lo leg deflates OR inflates raw efficiency; observed:
+    a T2=118.6 s pair "scored" 0.912).
+
+    Absolute check (``abs_band="lo_s,hi_s"``): the relative band cannot
+    catch a session whose EVERY lo leg is inflated — campaign-6 ran
+    T_2 = 87-106 s across a whole session (all median-relative "in
+    band") and the inflated legs scored 0.842/0.876 where the job
+    constant would read ~0.73. When set, a leg outside [lo_s, hi_s]
+    is invalid regardless of the session median. Unset = relative
+    check only (the constant is specific to one corpus size + level).
+    """
+    t_los = sorted(p[t_lo_key]["sec"] for p in pairs)
+    med_t_lo = t_los[len(t_los) // 2]
+    abs_lo, abs_hi = (
+        tuple(float(x) for x in abs_band.split(","))
+        if abs_band
+        else (0.0, float("inf"))
+    )
+    for p in pairs:
+        rel_ok = abs(p[t_lo_key]["sec"] - med_t_lo) / med_t_lo <= 0.07
+        abs_ok = abs_lo <= p[t_lo_key]["sec"] <= abs_hi
+        p["t_lo_in_band"] = rel_ok and abs_ok
+        p["clean"] = bool(p["clean"] and p["t_lo_in_band"])
+
+
 def main_scaling() -> None:
     """Two-parallelism scaling evidence (writes BENCH/BASELINE results).
 
@@ -324,18 +355,11 @@ def main_scaling() -> None:
         c_prev = c_after
         if sum(p["clean"] for p in pairs) >= need_clean:
             break
-    # post-hoc T_lo band check: the lo-core leg is per-core-compute
-    # bound and constant across rounds (79.9-85.5 s at 1M docs, ±3%);
-    # a drifted host can deflate OR INFLATE raw efficiency through it
-    # (observed: a T2=118.6 s pair "scored" 0.912), so a pair whose
-    # T_lo sits > 7% off the session median is invalid in either
-    # direction, whatever the controls said.
+    # post-hoc T_lo validity bands (relative + optional absolute);
+    # rationale in _apply_tlo_band's docstring
     t_lo_key = f"local[{lo}]"
-    t_los = sorted(p[t_lo_key]["sec"] for p in pairs)
-    med_t_lo = t_los[len(t_los) // 2]
-    for p in pairs:
-        p["t_lo_in_band"] = abs(p[t_lo_key]["sec"] - med_t_lo) / med_t_lo <= 0.07
-        p["clean"] = bool(p["clean"] and p["t_lo_in_band"])
+    abs_band = os.environ.get("SPARK_GRAFT_TLO_ABS_BAND", "")
+    _apply_tlo_band(pairs, t_lo_key, abs_band)
     clean = sorted(
         (p for p in pairs if p["clean"]), key=lambda p: p["efficiency"]
     )
@@ -353,6 +377,7 @@ def main_scaling() -> None:
         "basis": "clean_pairs" if clean else "all_pairs_NO_CLEAN_WINDOW",
         "n_clean": len(clean),
         "control_threshold": threshold,
+        "t_lo_abs_band": abs_band or None,
         "all_efficiencies": [p["efficiency"] for p in ranked_all],
         "all_pairs": ranked_all,
         "note": (
