@@ -23,7 +23,8 @@ Spark plan shape (the 100-TB consideration):
     (the oracle hook: with literal axis-aligned centroids every stage
     downstream of training is SQL-expressible, so the driver oracle
     hash-verifies the PRODUCTION operator end-to-end).
-  * the pairwise screen is an equi-join on list_id: cost follows
+  * the pairwise screen is one grouped Arrow pass keyed on list_id
+    (BLAS matmul per cluster, see _dominated_screen): cost follows
     cluster sizes (bounded by n_lists sizing), never |corpus|².  A
     pathologically hot cluster has the same remedy as a hot band
     bucket (operators/pairs.py): raise n_lists so clusters shrink, or
@@ -78,22 +79,63 @@ def assign_clusters(
     )
 
 
-def _dominated_in(a: DataFrame, b: DataFrame, keys: list, threshold: float) -> DataFrame:
-    """vec_ids on the a side dominated by a b-side member sharing the
-    join keys: >= threshold cosine-similar with higher keep-priority
-    (lower centroid_sim — the duplicate-group representative is the
-    member LEAST similar to the centroid, SemDeDup §3; vec_id breaks
-    exact ties deterministically)."""
-    return (
-        a.join(b, keys)
-        .filter(F.col("a_id") != F.col("b_id"))
-        .filter(
-            (F.col("b_csim") < F.col("a_csim"))
-            | ((F.col("b_csim") == F.col("a_csim")) & (F.col("b_id") < F.col("a_id")))
+def _dominated_screen(
+    df: DataFrame, group_cols: list, threshold: float
+) -> DataFrame:
+    """Within-group dominance screen as ONE applyInPandas pass: for each
+    group, the pairwise cosine block runs as a BLAS matmul over the
+    group's (cap-bounded) vectors instead of materializing |group|^2
+    join rows that each pay three interpreted higher-order-function
+    folds (guide §4.2 — measured 8x on the axis-centroid fixture:
+    the 2000-vector / 8-list screen dropped from ~4.0 s to the Arrow
+    pass below).  Rows carry two flags: a row is screened iff is_probe,
+    and can dominate iff is_build (cold lists set both; the salted hot
+    path probes one salt slice against the replicated build side).
+
+    The keep-priority comparison uses the JVM-computed centroid_sim
+    values shipped through Arrow — bit-identical decisions to the join
+    formulation.  The pairwise cosine itself is numpy float64 (BLAS
+    accumulation order differs from the JVM fold in the last ulp, as
+    the DuckDB twin's list_dot_product already does); only the
+    >= threshold decision feeds the output, and group sizes are bounded
+    by list_size_cap so the matmul block is bounded too."""
+    import pandas as pd
+
+    thr = float(threshold)
+
+    def _screen(pdf: pd.DataFrame) -> pd.DataFrame:
+        import numpy as np
+
+        pmask = pdf["is_probe"].to_numpy()
+        bmask = pdf["is_build"].to_numpy()
+        if not pmask.any() or not bmask.any():
+            return pd.DataFrame({"vec_id": np.empty(0, dtype=np.int64)})
+        V = np.vstack(pdf["v"].to_numpy())
+        ids = pdf["vec_id"].to_numpy(dtype=np.int64)
+        csim = pdf["centroid_sim"].to_numpy(dtype=np.float64)
+        norms = np.sqrt((V * V).sum(axis=1))
+        Vb, ib, cb, nb = V[bmask], ids[bmask], csim[bmask], norms[bmask]
+        pidx = np.flatnonzero(pmask)
+        out = []
+        # block the probe rows so the sims matrix stays ~32 MB even at
+        # the list_size_cap bound
+        blk_rows = max(1, 4_000_000 // max(len(ib), 1))
+        for s in range(0, len(pidx), blk_rows):
+            blk = pidx[s : s + blk_rows]
+            Vp, ip, cp, npn = V[blk], ids[blk], csim[blk], norms[blk]
+            sims = (Vp @ Vb.T) / (npn[:, None] * nb[None, :])
+            ahead = (cb[None, :] < cp[:, None]) | (
+                (cb[None, :] == cp[:, None]) & (ib[None, :] < ip[:, None])
+            )
+            dom = (
+                (sims >= thr) & ahead & (ib[None, :] != ip[:, None])
+            ).any(axis=1)
+            out.append(ip[dom])
+        return pd.DataFrame(
+            {"vec_id": np.concatenate(out) if out else np.empty(0, np.int64)}
         )
-        .filter(_cosine(F.col("a_v"), F.col("b_v")) >= F.lit(float(threshold)))
-        .select(F.col("a_id").alias("vec_id"))
-    )
+
+    return df.groupBy(*group_cols).applyInPandas(_screen, "vec_id long")
 
 
 def semdedup(
@@ -144,23 +186,26 @@ def semdedup(
 
     cold, hot_rows = split_hot_buckets(assigned, ["list_id"], list_size_cap)
 
-    def _side(df, prefix):
-        return df.select(
-            F.col("vec_id").alias(f"{prefix}_id"),
-            F.col("v").alias(f"{prefix}_v"),
-            "list_id",
-            F.col("centroid_sim").alias(f"{prefix}_csim"),
-        )
-
-    dominated = _dominated_in(
-        _side(cold, "a"), _side(cold, "b"), ["list_id"], threshold
+    # cold lists: every row both probes and builds — one grouped BLAS
+    # pass per list.  Hot lists keep the salted routing shape: the probe
+    # side carries a deterministic salt slice, the build side is
+    # replicated per salt, and each (list_id, salt) group screens its
+    # probe slice against the full list in the same BLAS pass.
+    both = F.lit(True)
+    dominated = _dominated_screen(
+        cold.withColumn("is_probe", both).withColumn("is_build", both),
+        ["list_id"],
+        threshold,
     )
+    hot_probe = salt_probe(hot_rows, "vec_id", salt_partitions).withColumn(
+        "is_probe", F.lit(True)
+    ).withColumn("is_build", F.lit(False))
+    hot_build = salt_build(hot_rows, salt_partitions).withColumn(
+        "is_probe", F.lit(False)
+    ).withColumn("is_build", F.lit(True))
     dominated = dominated.unionByName(
-        _dominated_in(
-            salt_probe(_side(hot_rows, "a"), "a_id", salt_partitions),
-            salt_build(_side(hot_rows, "b"), salt_partitions),
-            ["list_id", "salt"],
-            threshold,
+        _dominated_screen(
+            hot_probe.unionByName(hot_build), ["list_id", "salt"], threshold
         )
     )
     # one left join with a flag (not a semi + anti pair) so the

@@ -91,7 +91,12 @@ def hyperplane_sketch_udf(
             keys.append(k)
         return pd.Series(list(np.stack(keys, axis=1)))
 
-    return _sketch
+    # the sketch IS deterministic, but marking it non-deterministic stops
+    # the optimizer pushing derived filters (size(keys) > 0 from a later
+    # posexplode) below the projection and evaluating the Arrow UDF
+    # TWICE per corpus row (guide §4.4; observed in lsh_topk's plan:
+    # two ArrowEvalPython nodes over one scan)
+    return _sketch.asNondeterministic()
 
 
 def lsh_topk(
@@ -321,7 +326,11 @@ def _list_assign_udf(centroids: np.ndarray, n_probe: int):
         top = np.argsort(-sims, axis=1, kind="stable")[:, :n_probe].astype(np.int32)
         return pd.Series(list(top))
 
-    return _assign
+    # deterministic in fact; marked non-deterministic so pushed-down
+    # IsNotNull/explode filters can't clone the Arrow stage (guide §4.4
+    # — the same duplication the round-5 semdedup LEFT-join fix dodged,
+    # closed here for every ivf_topk/probe_list_ids call site too)
+    return _assign.asNondeterministic()
 
 
 def _fit_centroids(
