@@ -966,7 +966,12 @@ def q_cc_clusters(spark, sf):
     from simhash_text_dedup_spark.operators.cluster import connected_components
     from simhash_text_dedup_spark.operators.pairs import near_pairs
 
-    pairs = near_pairs(_surrogate_fps(spark, sf), DedupConfig())
+    # lineage cut: connected_components consumes the pair DAG twice
+    # (strategy probe + chosen strategy) — without it the band join
+    # would evaluate twice
+    pairs = near_pairs(_surrogate_fps(spark, sf), DedupConfig()).localCheckpoint(
+        eager=False
+    )
     return connected_components(pairs.select("a_id", "b_id"))
 
 
@@ -988,7 +993,8 @@ def q_cluster_agreement(spark, sf):
     from simhash_text_dedup_spark.operators.pairs import near_pairs
 
     fps = _surrogate_fps(spark, sf)
-    pairs = near_pairs(fps, DedupConfig())
+    # lineage cut: CC consumes the pair DAG twice (probe + strategy)
+    pairs = near_pairs(fps, DedupConfig()).localCheckpoint(eager=False)
     pred = connected_components(pairs.select("a_id", "b_id"))
     gold = fps.select("doc_id", F.col("fingerprint").alias("cluster_id"))
     return pair_counting_stats(pred, gold)
@@ -1103,7 +1109,13 @@ def q_greedy_actions(spark, sf):
     from simhash_text_dedup_spark.operators.selection import assign_actions_greedy
 
     fps = _surrogate_fps(spark, sf)
-    pairs = near_pairs(fps, DedupConfig()).select("a_id", "b_id")
+    # lineage cut: the pair DAG feeds CC (probe + strategy) AND the
+    # greedy walk — three consumers of one band join
+    pairs = (
+        near_pairs(fps, DedupConfig())
+        .select("a_id", "b_id")
+        .localCheckpoint(eager=False)
+    )
     cc = connected_components(pairs)
     meta = (
         fps.join(cc, "doc_id")

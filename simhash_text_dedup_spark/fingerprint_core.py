@@ -143,6 +143,34 @@ def simhash_one(text: str, width: int = 3) -> int:
 CHUNK_DOCS = 64
 
 
+# position-only power tables M^j / M^-j (mod 2^64), grown on demand and
+# reused across chunks: recomputing the two cumprods per chunk was 2 of
+# the kernel's 4 sequential full-buffer array passes, pure DRAM traffic
+# on a bandwidth-bound stage (CLAUDE.md rule 3/7).  Values depend only
+# on the index, so a prefix view of the cached array is bit-identical
+# to the per-chunk cumprod it replaces.  Python workers are
+# single-threaded processes; the cache is per-worker.
+_PW_CACHE = np.ones(1, dtype=np.uint64)
+_IPW_CACHE = np.ones(1, dtype=np.uint64)
+
+
+def _power_tables(n: int) -> tuple[np.ndarray, np.ndarray]:
+    global _PW_CACHE, _IPW_CACHE
+    if len(_PW_CACHE) < n:
+        size = max(n, 2 * len(_PW_CACHE))
+        pw = np.empty(size, dtype=np.uint64)
+        ipw = np.empty(size, dtype=np.uint64)
+        pw[0] = 1
+        ipw[0] = 1
+        with np.errstate(over="ignore"):
+            np.cumprod(np.full(size - 1, FNV_PRIME, dtype=np.uint64), out=pw[1:])
+            np.cumprod(
+                np.full(size - 1, FNV_PRIME_INV, dtype=np.uint64), out=ipw[1:]
+            )
+        _PW_CACHE, _IPW_CACHE = pw, ipw
+    return _PW_CACHE[:n], _IPW_CACHE[:n]
+
+
 def _token_hashes_chunk(texts: Sequence) -> tuple[np.ndarray, np.ndarray]:
     """Flat (token_hashes uint64, token_doc int64) for <= CHUNK_DOCS texts.
     Accepts str or pre-encoded utf-8 bytes per document (the Spark UDF
@@ -162,14 +190,9 @@ def _token_hashes_chunk(texts: Sequence) -> tuple[np.ndarray, np.ndarray]:
 
     n = len(arr)
     with np.errstate(over="ignore"):
-        # pw[j] = M^j, ipw[j] = M^-j (mod 2^64)
-        pw = np.empty(n, dtype=np.uint64)
-        ipw = np.empty(n, dtype=np.uint64)
-        pw[0] = 1
-        ipw[0] = 1
-        if n > 1:
-            np.cumprod(np.full(n - 1, FNV_PRIME, dtype=np.uint64), out=pw[1:])
-            np.cumprod(np.full(n - 1, FNV_PRIME_INV, dtype=np.uint64), out=ipw[1:])
+        # pw[j] = M^j, ipw[j] = M^-j (mod 2^64) — cached position-only
+        # tables, no per-chunk cumprod passes
+        pw, ipw = _power_tables(n)
         # S[i] = sum_{j<=i} byte_j * M^-j
         S = np.cumsum(arr.astype(np.uint64) * ipw, dtype=np.uint64)
         # poly of [s, e) = (S[e-1] - S[s-1]) * M^(e-1)

@@ -79,18 +79,18 @@ def connected_components(
     them through the loop).
     """
     spark = edges.sparkSession
-    # materialize the edge set ONCE: the strategy probe (count) and the
-    # chosen strategy (toPandas / the propagation loop) both consume it,
-    # and callers often pass an un-checkpointed pair DAG (a full band
-    # join) — without the cut that DAG would evaluate twice per call
-    # (guide §1.2: don't compute things twice)
-    edges = edges.select("a_id", "b_id").localCheckpoint(eager=False)
+    # NOTE for callers: the strategy probe (count) and the chosen
+    # strategy (toPandas / the propagation loop) BOTH consume `edges`;
+    # pass a lineage-cut frame (localCheckpoint / Checkpointer.through)
+    # or the pair DAG evaluates twice per call.  The cut cannot live
+    # here: a caller's observe() CollectMetrics would be buried below
+    # the checkpoint and never report (see Checkpointer.through).
     n_edges = edges.count()
     if n_edges == 0:
         return spark.createDataFrame([], "doc_id long, cluster_id long")
 
     if n_edges <= driver_threshold:
-        pdf = edges.toPandas()
+        pdf = edges.select("a_id", "b_id").toPandas()
         verts, labels = _driver_union_find(
             pdf.to_numpy(dtype=np.int64, copy=False)
         )

@@ -115,6 +115,111 @@ def train_ngram_lm(
     )
 
 
+def _doc_gram_only_counts(
+    corpus: DataFrame, width: int, id_col: str, text_col: str
+) -> DataFrame:
+    """(doc_id, gram, n) WITHOUT the prefix column: the prefix is a
+    function of the gram (its first width-1 space-joined tokens —
+    tokens are split on ' ' so they contain no spaces), so shuffling it
+    alongside every gram position is pure payload (guide §2.3).  The
+    self-trained scoring path re-derives it vocab-sized via
+    substring_index AFTER the aggregation."""
+    if width < 2:
+        raise ValueError("lm width must be >= 2 (conditional model)")
+    toks = F.col("__toks")
+    n = F.size(toks)
+    positions = F.when(
+        n < width, F.array().cast("array<int>")
+    ).otherwise(F.sequence(F.lit(1), (n - F.lit(width) + F.lit(1)).cast("int")))
+    return (
+        corpus.select(
+            F.col(id_col).alias("doc_id"),
+            F.split(F.col(text_col), " ").alias("__toks"),
+        )
+        .select(
+            "doc_id",
+            F.explode(
+                F.transform(
+                    positions,
+                    lambda i: F.concat_ws(" ", F.slice(toks, i, width)),
+                )
+            ).alias("gram"),
+        )
+        .groupBy("doc_id", "gram")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+def _self_trained_scored(
+    corpus: DataFrame, width: int, add_k: int, id_col: str, text_col: str
+) -> DataFrame:
+    """Self-trained scoring with the minimal plan: ONE corpus-sized
+    gram explode + aggregation, ONE corpus-sized probability join (on
+    the gram alone — the prefix is gram-derived, so the separate
+    prefix-level join the generic path needs for unseen grams never
+    adds information when the model trained on the same corpus), and
+    vocab-sized everything else.  Output identical to
+    _score_from_counts over _doc_gram_counts (same integer
+    arithmetic)."""
+    per_doc = _doc_gram_only_counts(
+        corpus, width, id_col, text_col
+    ).localCheckpoint(eager=False)
+    counts = per_doc.groupBy("gram").agg(F.sum("n").alias("c_gram"))
+    with_prefix = counts.withColumn(
+        "prefix", F.substring_index(F.col("gram"), " ", width - 1)
+    )
+    prefix_totals = with_prefix.groupBy("prefix").agg(
+        F.sum("c_gram").alias("c_prefix")
+    )
+    # lm fans out below (probability join + vocab count) — cut lineage
+    # so the vocab-sized model aggregation runs once per consumer read
+    lm = (
+        with_prefix.join(prefix_totals, "prefix")
+        .select("gram", "c_gram", "c_prefix")
+        .localCheckpoint(eager=False)
+    )
+    if add_k == 0:
+        joined = per_doc.join(lm, "gram", "left")
+        p = F.when(
+            F.col("c_gram").isNull(), F.lit(0).cast("bigint")
+        ).otherwise(_idiv(F.lit(1000) * F.col("c_gram"), F.col("c_prefix")))
+    else:
+        vocab = prefix_totals.agg(F.count(F.lit(1)).alias("__v"))
+        joined = per_doc.join(lm, "gram", "left").join(F.broadcast(vocab))
+        p = _idiv(
+            F.lit(1000)
+            * (F.coalesce(F.col("c_gram"), F.lit(0)) + F.lit(add_k)),
+            F.coalesce(F.col("c_prefix"), F.lit(0))
+            + F.lit(add_k) * F.col("__v"),
+        )
+    scored = (
+        joined.select("doc_id", "n", p.alias("p"))
+        .groupBy("doc_id")
+        .agg(
+            F.sum("n").alias("n_grams"),
+            F.sum(F.col("n") * F.col("p")).alias("sum_p"),
+        )
+        .select(
+            "doc_id",
+            F.col("n_grams").cast("bigint").alias("n_grams"),
+            _idiv(F.col("sum_p"), F.col("n_grams")).alias("score_permille"),
+        )
+    )
+    return (
+        corpus.select(F.col(id_col).alias("doc_id"))
+        .join(scored, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce(F.col("n_grams"), F.lit(0)).cast("bigint").alias(
+                "n_grams"
+            ),
+            F.coalesce(F.col("score_permille"), F.lit(0))
+            .cast("bigint")
+            .alias("score_permille"),
+        )
+    )
+
+
 def _doc_gram_counts(
     corpus: DataFrame, width: int, id_col: str, text_col: str
 ) -> DataFrame:
@@ -124,24 +229,6 @@ def _doc_gram_counts(
         _prefix_gram_rows(corpus, width, id_col, text_col)
         .groupBy("doc_id", "prefix", "gram")
         .agg(F.count(F.lit(1)).alias("n"))
-    )
-
-
-def _lm_from_doc_counts(per_doc: DataFrame) -> DataFrame:
-    """Fold an LM count table out of per-document gram counts (the
-    self-trained path: the corpus gram stream is exploded and
-    aggregated ONCE, then reused for scoring)."""
-    counts = per_doc.groupBy("prefix", "gram").agg(
-        F.sum("n").alias("c_gram")
-    )
-    prefix_totals = counts.groupBy("prefix").agg(
-        F.sum("c_gram").alias("c_prefix")
-    )
-    return counts.join(prefix_totals, "prefix").select(
-        "prefix",
-        "gram",
-        F.col("c_gram").cast("bigint").alias("c_gram"),
-        F.col("c_prefix").cast("bigint").alias("c_prefix"),
     )
 
 
@@ -300,13 +387,9 @@ def lm_quality(
     if reference_corpus is None:
         # self-trained: explode + aggregate the corpus gram stream ONCE
         # (lineage cut), fold the model out of the per-doc counts, then
-        # score from the same frame — the naive train-then-score
-        # composition replays the corpus explode per consumer branch
-        per_doc = _doc_gram_counts(
-            corpus, width, id_col, text_col
-        ).localCheckpoint(eager=False)
-        lm = _lm_from_doc_counts(per_doc)
-        scored = _score_from_counts(corpus, per_doc, lm, add_k, id_col)
+        # score with a single gram-keyed join — prefixes never shuffle
+        # corpus-sized (see _self_trained_scored)
+        scored = _self_trained_scored(corpus, width, add_k, id_col, text_col)
     else:
         lm = train_ngram_lm(
             reference_corpus, width=width, id_col=id_col, text_col=text_col

@@ -285,6 +285,9 @@ def repo_dedup_actions(
         .join(names.select(F.col("repo").alias("b_repo"),
                            F.col("rid").alias("b_id")), "b_repo")
         .select("a_id", "b_id")
+        # lineage cut: connected_components consumes the edge DAG twice
+        # (strategy probe + chosen strategy)
+        .localCheckpoint(eager=False)
     )
     labels = connected_components(
         edges, max_iter=cfg.cc_max_iter,

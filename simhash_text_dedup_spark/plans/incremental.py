@@ -292,7 +292,9 @@ def run_incremental(
     # marker and the dedup stream, DeDupMapper.java:147-166)
     from simhash_text_dedup_spark.operators.spam import spam_tag, split_spam
 
-    tagged = ck.through(spam_tag(new_fps), "spam_tagged")
+    # content_sha256 is unused past the spam window (new_side projects
+    # it off) — drop it before the exchange (guide §2.3)
+    tagged = ck.through(spam_tag(new_fps.drop("content_sha256")), "spam_tagged")
     survivors, kills = split_spam(tagged, cfg.spam_threshold)
     kills = ck.observe(kills, "spam_kills")
 

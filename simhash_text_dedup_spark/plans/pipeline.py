@@ -292,7 +292,11 @@ def run_dedup(
     # separate checkpoints ran the window twice)
     from simhash_text_dedup_spark.operators.spam import spam_tag, split_spam
 
-    tagged = ck.through(spam_tag(fps), "spam_tagged")
+    # project content_sha256 off before the spam window: nothing past
+    # this point reads it (the fps checkpoint keeps the invariant), and
+    # it is ~2/3 of the row bytes crossing the window's exchange
+    # (guide §2.3: project before the exchange)
+    tagged = ck.through(spam_tag(fps.drop("content_sha256")), "spam_tagged")
     survivors, kills = split_spam(tagged, cfg.spam_threshold)
     survivors = ck.observe(survivors, "survivors")
     kills = ck.observe(kills, "spam_kills")

@@ -114,7 +114,10 @@ def tiered_dedup(
     )
 
     # --- tier 2: near -- production band join + CC min-label ---------
-    pairs = near_pairs(survivors, cfg)
+    # lineage-cut the pair set: connected_components consumes it twice
+    # (strategy probe + chosen strategy) and would otherwise run the
+    # whole band join twice (guide §1.2)
+    pairs = near_pairs(survivors, cfg).localCheckpoint(eager=False)
     labels = connected_components(
         pairs.select("a_id", "b_id"),
         max_iter=cfg.cc_max_iter,
