@@ -1315,8 +1315,21 @@ def _planted_minhash_docs(spark, sf):
 
 def _surrogate_minhash_sigs(spark, sf):
     """doc_id, sig (array<bigint> 16), bands (array<bigint> 4) over
-    the planted corpus."""
-    dd = _planted_minhash_docs(spark, sf)
+    the planted corpus.
+
+    The 16-permutation md5 tree is the most expensive expression in the
+    entry module, so two plan guards matter (measured 34 s -> ~1.5 s at
+    sf0.1): spread_input fans the single-file scan across all cores
+    (the raw parquet opens as 2 byte-range splits), and the final
+    localCheckpoint stops downstream posexplode/join consumers from
+    re-inlining and re-evaluating the tree (Catalyst collapses the
+    sig/bands projections into every reference — the banded explode
+    alone re-ran it ~6x, and the verify join-back twice more)."""
+    from simhash_text_dedup_spark.plans.pipeline import spread_input
+
+    dd = spread_input(
+        _planted_minhash_docs(spark, sf), spark.sparkContext.defaultParallelism
+    )
     toks = F.split(F.col("text"), " ")
     # same 3-shingle convention as q_ngram_jaccard (already oracle-pinned)
     sh = F.when(
@@ -1347,7 +1360,9 @@ def _surrogate_minhash_sigs(spark, sf):
                 parts.append(F.lit(","))
             parts.append(F.col("sig")[j * _MH_ROWS + t].cast("string"))
         band_cols.append(_md5big(F.concat(*parts)))
-    return sigs.select("doc_id", "sig", F.array(*band_cols).alias("bands"))
+    return sigs.select(
+        "doc_id", "sig", F.array(*band_cols).alias("bands")
+    ).localCheckpoint(eager=False)
 
 
 def q_minhash_band_pairs(spark, sf):
@@ -1649,9 +1664,18 @@ def q_minhash_pairs(spark, sf):
         minhash_verified_pairs,
     )
 
+    from simhash_text_dedup_spark.plans.pipeline import spread_input
+
     cfg = DedupConfig(jaccard_threshold=0.5)
-    d = _docs(spark, sf).select("doc_id", F.col("text").alias("content"))
-    sigs = minhash_signatures(d, cfg)
+    # spread the single-file scan before the Arrow UDF and cut lineage
+    # on the signature table: minhash_verified_pairs consumes it three
+    # times (banded explode + both verify join-backs) — the pipeline
+    # path checkpoints it upstream, direct callers must too
+    d = spread_input(
+        _docs(spark, sf).select("doc_id", F.col("text").alias("content")),
+        spark.sparkContext.defaultParallelism,
+    )
+    sigs = minhash_signatures(d, cfg).localCheckpoint(eager=False)
     return minhash_verified_pairs(sigs, cfg).select("a_id", "b_id", "est_jaccard")
 
 
@@ -1690,10 +1714,18 @@ def q_incremental_minhash_pairs(spark, sf):
         F.col("doc_id").alias("entity_id"),
         F.lit(True).alias("is_new"),
     )
-    docs = base.unionByName(unchanged).unionByName(modified)
+    from simhash_text_dedup_spark.plans.pipeline import spread_input
+
+    docs = spread_input(
+        base.unionByName(unchanged).unionByName(modified),
+        spark.sparkContext.defaultParallelism,
+    )
+    # lineage cut: the signature table fans into the new/base side
+    # selects below, which each feed the banded join and the verify
+    # join-backs — without it the Arrow UDF re-runs per consumer
     sigs = minhash_signatures(docs.select("doc_id", "content"), cfg).join(
         docs.select("doc_id", "entity_id", "is_new"), "doc_id"
-    )
+    ).localCheckpoint(eager=False)
     score = (F.col("doc_id") % 1000 / F.lit(1000.0)).alias("score")
     new_sigs = sigs.filter("is_new").select(
         "doc_id", "entity_id", "sig", "bands",

@@ -171,6 +171,11 @@ def semdedup(
     correctness-independent: every cluster is entirely cold or
     entirely hot, and within a hot cluster each (a, b) pair meets in
     exactly one salt."""
+    from .similarity import _spread
+
+    # fan a narrow single-file scan across the cores so the Arrow
+    # assignment UDF doesn't run on 1-2 tasks (no-op at cluster scale)
+    corpus = _spread(corpus)
     c = corpus.select("vec_id", F.col("embedding").cast("array<double>").alias("v"))
     cent = (
         np.asarray(centroids, dtype=np.float64)

@@ -28,6 +28,34 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 
+def _spread(df: DataFrame) -> DataFrame:
+    """Fan a narrow (1-2 partition single-file) scan across the cores
+    before an expensive projection — the band self-joins below broadcast
+    their small side, so every downstream stage otherwise inherits the
+    scan's partitioning and runs the per-row sketch/verify work on one
+    task (measured: the 2000-vector near-pair verify ran single-task).
+    Delegates to plans.pipeline.spread_input: no-op at cluster scale
+    where the input already has >= parallelism files."""
+    from simhash_text_dedup_spark.plans.pipeline import spread_input
+
+    return spread_input(df, df.sparkSession.sparkContext.defaultParallelism)
+
+
+def _first_match_only(akeys, bkeys, pos, n_bands: int) -> F.Column:
+    """TRUE iff no band BEFORE `pos` has equal keys on both sides —
+    the first-shared-band dedup predicate as a static codegen AND-chain
+    over band indexes.  Equivalent to the old
+    ~exists(zip_with(slice(akeys,1,pos), slice(bkeys,1,pos), ==)) but
+    with zero per-row array allocations (the slice/zip/exists chain is
+    interpreted per row; measured ~2.6 s over 1M candidate rows).
+    Requires the sketch to emit exactly n_bands keys (every shipped
+    sketch family does; the lsh_* docstrings state the contract)."""
+    pred = F.lit(True)
+    for j in range(n_bands - 1):
+        pred = pred & ((pos <= F.lit(j)) | (akeys[j] != bkeys[j]))
+    return pred
+
+
 def _cosine(a, b) -> F.Column:
     dot = F.aggregate(F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda s, x: s + x)
     na = F.sqrt(F.aggregate(F.transform(a, lambda x: x * x), F.lit(0.0), lambda s, x: s + x))
@@ -122,7 +150,8 @@ def lsh_topk(
     production hyperplane family stays pinned by recall tests.  The
     sketch must make keys BAND-DISTINCT (fold the band index into the
     key — both shipped families do), so two vectors can only collide
-    band-aligned.
+    band-aligned, and must emit exactly `n_bands` keys (the static
+    first-match predicate iterates band indexes up to n_bands).
 
     A pair sharing several bands is emitted ONLY in its first shared
     band, via the same whole-stage-codegen predicate as the SimHash
@@ -138,7 +167,7 @@ def lsh_topk(
     explicit salted hot-bucket routing."""
     sketch = sketch_fn or hyperplane_sketch_udf(dim, n_planes, n_bands, seed)
 
-    c = corpus.select(
+    c = _spread(corpus).select(
         "vec_id",
         F.col("embedding").cast("array<double>").alias("v"),
         sketch(F.col("embedding")).alias("keys"),
@@ -154,19 +183,15 @@ def lsh_topk(
     q_b = q.select(
         "query_id", "qkeys", F.posexplode("qkeys").alias("qpos", "band_key")
     )
-    earlier_match = F.exists(
-        F.zip_with(
-            F.slice(F.col("qkeys"), F.lit(1), F.col("qpos")),
-            F.slice(F.col("keys"), F.lit(1), F.col("qpos")),
-            lambda a, b: a == b,
-        ),
-        lambda m: m,
-    )
     cands = (
         q_b.join(c_b, "band_key")
         .filter(F.col("vec_id") != F.col("query_id"))
         .filter(F.col("qpos") == F.col("pos"))  # band-distinct keys
-        .filter(~earlier_match)
+        .filter(
+            _first_match_only(
+                F.col("qkeys"), F.col("keys"), F.col("qpos"), n_bands
+            )
+        )
         .select("query_id", "vec_id")
     )
     w = Window.partitionBy("query_id").orderBy(F.col("cos_sim").desc(), F.col("vec_id"))
@@ -220,9 +245,22 @@ def lsh_near_pairs(
     # histogram, both join branches AND the verify join-backs — without
     # it the UDF would re-run per consumer (same reason as ivf_probe /
     # semdedup)
-    c = corpus.select(
+    # the vector norm is a per-VECTOR constant: hoist it next to the
+    # sketch (computed once per vector here) so the per-candidate verify
+    # pays one dot-product fold instead of three higher-order-function
+    # chains; dot/(na*nb) on the same inputs is bit-identical to the
+    # inline _cosine
+    vv = F.col("embedding").cast("array<double>")
+    c = _spread(corpus).select(
         "vec_id",
-        F.col("embedding").cast("array<double>").alias("v"),
+        vv.alias("v"),
+        F.sqrt(
+            F.aggregate(
+                F.transform(vv, lambda x: x * x),
+                F.lit(0.0),
+                lambda s, x: s + x,
+            )
+        ).alias("vnorm"),
         sketch(F.col("embedding")).alias("keys"),
     ).localCheckpoint(eager=False)
     cb = c.select(
@@ -245,13 +283,8 @@ def lsh_near_pairs(
         )
         return a, b
 
-    earlier_match = F.exists(
-        F.zip_with(
-            F.slice(F.col("akeys"), F.lit(1), F.col("apos")),
-            F.slice(F.col("bkeys"), F.lit(1), F.col("apos")),
-            lambda x, y: x == y,
-        ),
-        lambda m: m,
+    first_match = _first_match_only(
+        F.col("akeys"), F.col("bkeys"), F.col("apos"), n_bands
     )
 
     def _cands(a, b, keys):
@@ -259,7 +292,7 @@ def lsh_near_pairs(
             a.join(b, keys)
             .filter(F.col("a_id") < F.col("b_id"))
             .filter(F.col("apos") == F.col("bpos"))  # band-distinct keys
-            .filter(~earlier_match)
+            .filter(first_match)
             .select("a_id", "b_id")
         )
 
@@ -273,17 +306,31 @@ def lsh_near_pairs(
             ["band_key", "salt"],
         )
     )
+    dot = F.aggregate(
+        F.zip_with(F.col("a_v"), F.col("b_v"), lambda x, y: x * y),
+        F.lit(0.0),
+        lambda s, x: s + x,
+    )
     return (
         cands.join(
-            c.select(F.col("vec_id").alias("a_id"), F.col("v").alias("a_v")),
+            c.select(
+                F.col("vec_id").alias("a_id"),
+                F.col("v").alias("a_v"),
+                F.col("vnorm").alias("a_norm"),
+            ),
             "a_id",
         )
         .join(
-            c.select(F.col("vec_id").alias("b_id"), F.col("v").alias("b_v")),
+            c.select(
+                F.col("vec_id").alias("b_id"),
+                F.col("v").alias("b_v"),
+                F.col("vnorm").alias("b_norm"),
+            ),
             "b_id",
         )
         .filter(
-            _cosine(F.col("a_v"), F.col("b_v")) >= F.lit(float(threshold))
+            dot / (F.col("a_norm") * F.col("b_norm"))
+            >= F.lit(float(threshold))
         )
         .select("a_id", "b_id")
     )
