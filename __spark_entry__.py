@@ -911,7 +911,12 @@ def _surrogate_fps(spark, sf):
     are fingerprint-agnostic, so the oracle pins them end-to-end here
     while the production fingerprint is pinned by reference_impl.py
     parity tests."""
-    d = _docs(spark, sf).select("doc_id", "text")
+    from simhash_text_dedup_spark.plans.pipeline import spread_input
+
+    d = spread_input(
+        _docs(spark, sf).select("doc_id", "text"),
+        spark.sparkContext.defaultParallelism,
+    )
     fp = F.conv(F.substring(F.md5(F.col("text")), 1, 15), 16, 10).cast("long")
     base = d.select("doc_id", fp.alias("fingerprint"))
     m1 = base.filter(F.col("doc_id") % 10 == 0).select(
@@ -929,7 +934,11 @@ def _surrogate_fps(spark, sf):
             " ^ shiftleft(cast(1 as bigint), cast((doc_id * 31 + 1) % 60 as int))"
         ).alias("fingerprint"),
     )
-    return base.unionByName(m1).unionByName(m3)
+    # spread (above) + lineage cut: every consumer fans this frame into
+    # several subtrees (band joins, union copies, meta join-backs), and
+    # Catalyst would re-evaluate the md5 fingerprint expression per
+    # subtree over the single-file scan's 2 partitions
+    return base.unionByName(m1).unionByName(m3).localCheckpoint(eager=False)
 
 
 def q_band_join_pairs(spark, sf):
@@ -1168,13 +1177,15 @@ def q_incremental_round_lists(spark, sf):
         .when(F.col("doc_id") >= 30000000, F.col("doc_id") - 30000000)
         .otherwise(F.col("doc_id"))
     )
+    # lineage cut: t fans into base/new splits that each feed several
+    # joins (unload, loaded-flag, live-base anti, both band-join sides)
     t = allfps.select(
         "doc_id",
         "fingerprint",
         entity.alias("entity_id"),
         F.col("fingerprint").bitwiseAND(F.lit(1048575)).cast("double").alias("score"),
         ((F.col("doc_id") < 10000000) & (F.col("doc_id") % 2 == 0)).alias("is_base"),
-    )
+    ).localCheckpoint(eager=False)
     base_fps = t.filter("is_base").select("doc_id", "entity_id", "fingerprint", "score")
     new_fps = t.filter("NOT is_base").select("doc_id", "entity_id", "fingerprint", "score")
 
@@ -1200,7 +1211,11 @@ def q_incremental_round_lists(spark, sf):
             F.lit(True).alias("is_loaded"), "score",
         )
     )
-    pairs = candidate_pairs(new_side, all_side, DedupConfig())
+    # loser_lists_cc consumes the pair set twice (delete + modify
+    # filters) — cut it so the band join runs once
+    pairs = candidate_pairs(new_side, all_side, DedupConfig()).localCheckpoint(
+        eager=False
+    )
     delete_list, modify_list = loser_lists_cc(pairs)
     return (
         delete_list.select("doc_id", F.lit("delete").alias("list"))

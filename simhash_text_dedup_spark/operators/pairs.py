@@ -231,22 +231,51 @@ def near_pairs(distinct_fps: DataFrame, cfg: DedupConfig) -> DataFrame:
                 hkb.setdefault(r["band"], []).append(r["band_key"])
         return _verify(left.join(right, ["band", "band_key"]), cfg, hkb)
 
-    pairs = _verify(left.join(right, ["band", "band_key"]), cfg)
-
-    if cfg.hot_bucket_mode == "salt":
-        hb = b.join(F.broadcast(hot), ["band", "band_key"], "left_semi")
-        s = cfg.salt_partitions
-        lh = _sides(hb)[0].withColumn(
-            "salt", F.pmod(F.xxhash64("a_id"), F.lit(s)).cast("int")
+    # salt mode (default): ONE join keyed (band, band_key, salt) routes
+    # cold and hot buckets together — cold rows take salt 0 on both
+    # sides (meet exactly once), hot probe rows take a deterministic
+    # doc_id-derived salt and hot build rows replicate across all salt
+    # values (each hot pair meets exactly at the probe row's salt).
+    # Replaces the former cold-join + salted-sub-join + union: the
+    # banded frame is evaluated twice (probe + build) instead of five
+    # times (histogram feeds from the same scan either way), and the
+    # pair stream needs one exchange pair instead of two (guide §2.4).
+    # A (band, band_key) bucket is entirely hot or entirely cold, so
+    # salt-0 cold rows can never meet a hot build replica.
+    s = cfg.salt_partitions
+    flagged = b.join(
+        F.broadcast(hot.withColumn("_hot", F.lit(True))),
+        ["band", "band_key"],
+        "left",
+    )
+    probe = flagged.withColumn(
+        "salt",
+        F.when(
+            F.col("_hot").isNotNull(),
+            F.pmod(F.xxhash64("doc_id"), F.lit(s)),
         )
-        # replicate the build side once per salt value
-        rh = (
-            _sides(hb)[1]
-            .withColumn("salt", F.explode(F.array(*[F.lit(i) for i in range(s)])))
-        )
-        hot_pairs = _verify(
-            lh.join(rh, ["band", "band_key", "salt"]), cfg
-        )
-        pairs = pairs.unionByName(hot_pairs)
-
-    return pairs
+        .otherwise(F.lit(0))
+        .cast("int"),
+    )
+    build = flagged.withColumn(
+        "salt",
+        F.explode(
+            F.when(
+                F.col("_hot").isNotNull(),
+                F.array(*[F.lit(i) for i in range(s)]),
+            ).otherwise(F.array(F.lit(0)))
+        ),
+    )
+    left = probe.select(
+        "band", "band_key", "salt",
+        F.col("doc_id").alias("a_id"),
+        F.col("fingerprint").alias("a_fp"),
+    )
+    right = build.select(
+        "band", "band_key", "salt",
+        F.col("doc_id").alias("b_id"),
+        F.col("fingerprint").alias("b_fp"),
+    )
+    return _verify(
+        left.join(right, ["band", "band_key", "salt"]), cfg
+    )

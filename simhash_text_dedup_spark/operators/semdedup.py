@@ -187,31 +187,49 @@ def semdedup(
     # stage would execute three times (same trick as ivf_probe)
     assigned = assign_clusters(corpus, cent).localCheckpoint(eager=False)
 
-    from .skew import salt_build, salt_probe, split_hot_buckets
-
-    cold, hot_rows = split_hot_buckets(assigned, ["list_id"], list_size_cap)
-
-    # cold lists: every row both probes and builds — one grouped BLAS
-    # pass per list.  Hot lists keep the salted routing shape: the probe
-    # side carries a deterministic salt slice, the build side is
-    # replicated per salt, and each (list_id, salt) group screens its
-    # probe slice against the full list in the same BLAS pass.
-    both = F.lit(True)
-    dominated = _dominated_screen(
-        cold.withColumn("is_probe", both).withColumn("is_build", both),
-        ["list_id"],
-        threshold,
+    # ONE grouped BLAS pass keyed (list_id, salt) screens cold and hot
+    # lists together: cold rows take salt 0 and act as both probe and
+    # build (the whole list lands in one group); rows of an over-cap
+    # ("hot") list probe in a deterministic vec_id-derived salt slice
+    # while build replicas cover every salt, so each (probe, build)
+    # combination meets exactly once and no single task holds a
+    # |hot list|^2 block.  The former cold-screen + hot-screen + union
+    # paid the shuffle and the Arrow stage twice.
+    s = int(salt_partitions)
+    hot = (
+        assigned.groupBy("list_id")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .filter(F.col("n") > int(list_size_cap))
+        .select("list_id")
+        .withColumn("_hot", F.lit(True))
+        .localCheckpoint(eager=False)
     )
-    hot_probe = salt_probe(hot_rows, "vec_id", salt_partitions).withColumn(
-        "is_probe", F.lit(True)
-    ).withColumn("is_build", F.lit(False))
-    hot_build = salt_build(hot_rows, salt_partitions).withColumn(
-        "is_probe", F.lit(False)
-    ).withColumn("is_build", F.lit(True))
-    dominated = dominated.unionByName(
-        _dominated_screen(
-            hot_probe.unionByName(hot_build), ["list_id", "salt"], threshold
+    flagged = assigned.join(F.broadcast(hot), "list_id", "left")
+    probe = flagged.select(
+        "vec_id",
+        "v",
+        "list_id",
+        "centroid_sim",
+        F.when(
+            F.col("_hot").isNotNull(), F.pmod(F.xxhash64("vec_id"), F.lit(s))
         )
+        .otherwise(F.lit(0))
+        .cast("int")
+        .alias("salt"),
+        F.lit(True).alias("is_probe"),
+        F.col("_hot").isNull().alias("is_build"),
+    )
+    build = flagged.filter(F.col("_hot").isNotNull()).select(
+        "vec_id",
+        "v",
+        "list_id",
+        "centroid_sim",
+        F.explode(F.array(*[F.lit(i) for i in range(s)])).alias("salt"),
+        F.lit(False).alias("is_probe"),
+        F.lit(True).alias("is_build"),
+    )
+    dominated = _dominated_screen(
+        probe.unionByName(build), ["list_id", "salt"], threshold
     )
     # one left join with a flag (not a semi + anti pair) so the
     # assignment stage — which carries the Arrow UDF pass — is scanned
