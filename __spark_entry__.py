@@ -246,8 +246,13 @@ def q_token_stats(spark, sf):
         quality_permille,
         token_count,
     )
+    from simhash_text_dedup_spark.plans.pipeline import spread_input
 
-    d = _docs(spark, sf)
+    # the four regex/scan chains are the heaviest per-row JVM text work
+    # in the module — fan the single-row-group scan across the cores
+    # (A/B: 0.44 -> 0.29 s at sf0.1; the cheap-agg queries keep the
+    # plain scan, where the exchange costs more than 1-task map work)
+    d = spread_input(_docs(spark, sf), spark.sparkContext.defaultParallelism)
     t = F.col("text")
     return d.select(
         "doc_id",
@@ -937,8 +942,18 @@ def _surrogate_fps(spark, sf):
     # spread (above) + lineage cut: every consumer fans this frame into
     # several subtrees (band joins, union copies, meta join-backs), and
     # Catalyst would re-evaluate the md5 fingerprint expression per
-    # subtree over the single-file scan's 2 partitions
-    return base.unionByName(m1).unionByName(m3).localCheckpoint(eager=False)
+    # subtree over the single-file scan's 2 partitions.  The coalesce
+    # folds the union's 3x-parallelism partition count back to the core
+    # count BEFORE caching — downstream unions of checkpointed branches
+    # otherwise snowball into hundreds of ~10-row tasks (observed 288-
+    # and 576-task stages in incremental_round_lists), and broadcast
+    # joins never re-coalesce a non-shuffle side.
+    return (
+        base.unionByName(m1)
+        .unionByName(m3)
+        .coalesce(spark.sparkContext.defaultParallelism)
+        .localCheckpoint(eager=False)
+    )
 
 
 def q_band_join_pairs(spark, sf):
@@ -1178,14 +1193,16 @@ def q_incremental_round_lists(spark, sf):
         .otherwise(F.col("doc_id"))
     )
     # lineage cut: t fans into base/new splits that each feed several
-    # joins (unload, loaded-flag, live-base anti, both band-join sides)
+    # joins (unload, loaded-flag, live-base anti, both band-join sides);
+    # coalesce first — the three-way union above tripled the partition
+    # count and broadcast joins would stream every ~10-row task through
     t = allfps.select(
         "doc_id",
         "fingerprint",
         entity.alias("entity_id"),
         F.col("fingerprint").bitwiseAND(F.lit(1048575)).cast("double").alias("score"),
         ((F.col("doc_id") < 10000000) & (F.col("doc_id") % 2 == 0)).alias("is_base"),
-    ).localCheckpoint(eager=False)
+    ).coalesce(spark.sparkContext.defaultParallelism).localCheckpoint(eager=False)
     base_fps = t.filter("is_base").select("doc_id", "entity_id", "fingerprint", "score")
     new_fps = t.filter("NOT is_base").select("doc_id", "entity_id", "fingerprint", "score")
 
@@ -1781,8 +1798,15 @@ def q_quality_classifier(spark, sf):
         classifier_score,
         train_linear_classifier,
     )
+    from simhash_text_dedup_spark.plans.pipeline import spread_input
 
-    d = _docs(spark, sf).select(
+    # ~300 md5-hashed features per document make this the heaviest
+    # per-row expression chain after the minhash surrogate — fan the
+    # single-row-group scan across the cores (same rationale/measured
+    # pattern as token_stats; no-op at cluster scale)
+    d = spread_input(
+        _docs(spark, sf), spark.sparkContext.defaultParallelism
+    ).select(
         "doc_id",
         (F.col("doc_id") % 3 == 0).alias("label"),
         F.concat(

@@ -109,3 +109,43 @@ def test_greedy_check_disabled_stays_silent(spark):
         _w.simplefilter("error", RuntimeWarning)
         out = assign_actions_greedy(meta, edges, warn_pairs_per_component=None)
         assert out.count() == 2
+
+
+def test_greedy_multi_component_frame_equals_per_component():
+    """The mapInPandas rewrite hands _greedy_component a whole hash
+    PARTITION of components at once; the global score-ordered walk must
+    make exactly the per-component decisions (components share no
+    docs, so a shared dead set cannot interfere)."""
+    import pandas as pd
+
+    from simhash_text_dedup_spark.operators.selection import _greedy_component
+
+    def comp(cluster, ids_scores, pairs):
+        rows = [
+            {"doc_id": i, "cluster_id": cluster, "score": s, "is_new": True,
+             "b_doc": i}
+            for i, s in ids_scores
+        ] + [
+            {"doc_id": a, "cluster_id": cluster,
+             "score": dict(ids_scores)[a], "is_new": True, "b_doc": b}
+            for a, b in pairs
+        ]
+        return rows
+
+    # component 0: chain 10-11-12 (interleaved scores); component 1:
+    # clique 20,21,22 — scores chosen so the global sort interleaves
+    # the two components' pairs
+    c0 = comp(0, [(10, 5.0), (11, 3.0), (12, 4.0)], [(10, 11), (11, 12)])
+    c1 = comp(1, [(20, 4.5), (21, 3.5), (22, 2.5)],
+              [(20, 21), (20, 22), (21, 22)])
+
+    def run(rows):
+        out = _greedy_component(pd.DataFrame(rows), warn_pairs=None)
+        return {r.doc_id: (r.is_representative, r.action)
+                for r in out.itertuples()}
+
+    merged = run(c0 + c1)
+    separate = {**run(c0), **run(c1)}
+    assert merged == separate
+    # sanity: the clique kept exactly one
+    assert sum(merged[i][0] for i in (20, 21, 22)) == 1
