@@ -171,6 +171,43 @@ def _power_tables(n: int) -> tuple[np.ndarray, np.ndarray]:
     return _PW_CACHE[:n], _IPW_CACHE[:n]
 
 
+# reusable uint64 scratch buffers (grown on demand, per worker): the
+# per-chunk temporaries are 0.3-1.8 MB, above glibc's mmap threshold,
+# so allocating them fresh each chunk made the kernel pay an
+# mmap+page-zero round trip per buffer per chunk — one extra full
+# write pass over every buffer on a DRAM-bound stage (measured ~8%
+# at 8-way concurrency via MALLOC_MMAP_THRESHOLD_; buffer reuse gets
+# the same win without depending on allocator tunables).
+_SCRATCH: dict[str, np.ndarray] = {}
+
+
+def _scratch(name: str, n: int) -> np.ndarray:
+    buf = _SCRATCH.get(name)
+    if buf is None or len(buf) < n:
+        size = n if buf is None else max(n, 2 * len(buf))
+        buf = np.empty(size, dtype=np.uint64)
+        _SCRATCH[name] = buf
+    return buf[:n]
+
+
+def _splitmix64_inplace(z: np.ndarray, tmp: np.ndarray) -> np.ndarray:
+    """splitmix64 over uint64 array ``z`` IN PLACE (``tmp``: same-length
+    uint64 scratch) — the allocation-free twin of _splitmix64_np; the
+    operation sequence (and therefore every wrapped intermediate) is
+    identical, so outputs are bit-equal."""
+    with np.errstate(over="ignore"):
+        z += np.uint64(0x9E3779B97F4A7C15)
+        np.right_shift(z, np.uint64(30), out=tmp)
+        z ^= tmp
+        z *= np.uint64(0xBF58476D1CE4E5B9)
+        np.right_shift(z, np.uint64(27), out=tmp)
+        z ^= tmp
+        z *= np.uint64(0x94D049BB133111EB)
+        np.right_shift(z, np.uint64(31), out=tmp)
+        z ^= tmp
+    return z
+
+
 def _token_hashes_chunk(texts: Sequence) -> tuple[np.ndarray, np.ndarray]:
     """Flat (token_hashes uint64, token_doc int64) for <= CHUNK_DOCS texts.
     Accepts str or pre-encoded utf-8 bytes per document (the Spark UDF
@@ -193,12 +230,15 @@ def _token_hashes_chunk(texts: Sequence) -> tuple[np.ndarray, np.ndarray]:
         # pw[j] = M^j, ipw[j] = M^-j (mod 2^64) — cached position-only
         # tables, no per-chunk cumprod passes
         pw, ipw = _power_tables(n)
-        # S[i] = sum_{j<=i} byte_j * M^-j
-        S = np.cumsum(arr.astype(np.uint64) * ipw, dtype=np.uint64)
+        # S[i] = sum_{j<=i} byte_j * M^-j — multiply + cumsum into one
+        # reused scratch buffer (same wrapping arithmetic, no temps)
+        S = _scratch("S", n)
+        np.multiply(arr, ipw, out=S)
+        np.cumsum(S, out=S)
         # poly of [s, e) = (S[e-1] - S[s-1]) * M^(e-1)
         left = np.where(starts > 0, S[starts - 1], np.uint64(0))
         poly = (S[ends - 1] - left) * pw[ends - 1]
-        th = _splitmix64_np(poly)
+        th = _splitmix64_inplace(poly, _scratch("tmp", len(poly)))
 
     # doc index per token: doc i occupies [off[i], off[i]+len_i)
     lens = np.fromiter((len(b) for b in bufs), dtype=np.int64, count=len(bufs))
@@ -230,11 +270,17 @@ def shingle_hashes_batch(
 
         # full-width shingles on the flat array
         if m >= width:
-            valid = tdoc[: m - width + 1] == tdoc[width - 1 :]
+            L = m - width + 1
+            valid = tdoc[:L] == tdoc[width - 1 :]
             with np.errstate(over="ignore"):
-                acc = np.full(max(m - width + 1, 0), SEED, dtype=np.uint64)
+                # scratch-backed fold: xor + splitmix run in place (the
+                # boolean index below copies, so reuse is safe)
+                acc = _scratch("acc", L)
+                acc[:] = SEED
+                tmp = _scratch("tmp", L)
                 for k in range(width):
-                    acc = _splitmix64_np(acc ^ th[k : m - width + 1 + k])
+                    np.bitwise_xor(acc, th[k : L + k], out=acc)
+                    _splitmix64_inplace(acc, tmp)
             sh_full = acc[valid]
             sh_doc = tdoc[: m - width + 1][valid]
         else:
