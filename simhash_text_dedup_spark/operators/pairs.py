@@ -200,10 +200,9 @@ def near_pairs(distinct_fps: DataFrame, cfg: DedupConfig) -> DataFrame:
         .localCheckpoint(eager=False)
     )
 
-    cold = b.join(F.broadcast(hot), ["band", "band_key"], "left_anti")
-    left, right = _sides(cold)
-
     if cfg.hot_bucket_mode == "drop":
+        cold = b.join(F.broadcast(hot), ["band", "band_key"], "left_anti")
+        left, right = _sides(cold)
         # the hot set is a histogram tail (tiny by construction); one
         # bounded driver collect parameterizes the first-COLD-match
         # predicate so hot earlier bands don't suppress cold emissions.
